@@ -1,0 +1,118 @@
+"""Distributed multiset P/R/F1 (E1/E2/E3 semantics as joins).
+
+The reference's ``TupleEvaluator.update`` (reference ``clinical_eval.py:65-81``)
+does MULTISET matching: each gold tuple consumes at most one identical pred
+tuple (``pred_tuple_cp.remove``), labels ``N/O/_/OO`` are ignored, and
+
+    tps(label) = sum over distinct tuples of min(gold_count, pred_count)
+    fns(label) = gold_count - tps ;  fps(label) = pred_count - tps
+
+which is exactly a full-outer join of per-tuple counts with ``least`` — no
+per-row Python, fully shuffled-hash-aggregable, scales to any corpus. The
+micro/macro summaries mirror ``print_results`` (``clinical_eval.py:83-108``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+IGNORED_LABELS = ("N", "O", "_", "OO")
+
+
+def per_label_counts(
+    gold: "DataFrame", pred: "DataFrame", key_cols: list[str], label_col: str
+) -> "DataFrame":
+    """-> (label, tps, fps, fns) via multiset tuple matching."""
+    keys = [label_col] + [c for c in key_cols if c != label_col]
+    g = (
+        gold.where(~F.col(label_col).isin(*IGNORED_LABELS))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("gc"))
+    )
+    p = (
+        pred.where(~F.col(label_col).isin(*IGNORED_LABELS))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    joined = g.join(p, on=keys, how="full_outer").select(
+        F.col(label_col).alias("label"),
+        F.coalesce("gc", F.lit(0)).alias("gc"),
+        F.coalesce("pc", F.lit(0)).alias("pc"),
+    )
+    return joined.groupBy("label").agg(
+        F.sum(F.least("gc", "pc")).alias("tps"),
+        F.sum(F.col("pc") - F.least("gc", "pc")).alias("fps"),
+        F.sum(F.col("gc") - F.least("gc", "pc")).alias("fns"),
+    )
+
+
+def _f1(tps: float, fps: float, fns: float) -> tuple[float, float, float]:
+    # reference clinical_eval.py:7-11
+    p = 0.0 if not (tps + fps) else tps / (tps + fps)
+    r = 0.0 if not (tps + fns) else tps / (tps + fns)
+    f1 = 0.0 if not (p + r) else 2 * p * r / (p + r)
+    return p, r, f1
+
+
+def prf_summary(
+    gold: "DataFrame",
+    pred: "DataFrame",
+    key_cols: list[str],
+    label_col: str,
+    f1_mode: str = "micro",
+) -> dict:
+    """Driver-side summary dict {precision, recall, f1, per_label}.
+
+    Aggregates the (tiny) per-label table on the driver — the distributed part
+    is done by :func:`per_label_counts`.
+    """
+    rows = per_label_counts(gold, pred, key_cols, label_col).collect()
+    per_label = {
+        r["label"]: dict(zip(("precision", "recall", "f1"), _f1(r["tps"], r["fps"], r["fns"])))
+        for r in rows
+    }
+    if f1_mode == "micro":
+        tps = sum(r["tps"] for r in rows)
+        fps = sum(r["fps"] for r in rows)
+        fns = sum(r["fns"] for r in rows)
+        p, r_, f1 = _f1(tps, fps, fns)
+    elif f1_mode == "macro":
+        n = max(len(per_label), 1)
+        p = sum(v["precision"] for v in per_label.values()) / n
+        r_ = sum(v["recall"] for v in per_label.values()) / n
+        f1 = sum(v["f1"] for v in per_label.values()) / n
+    else:
+        raise ValueError(f"unknown f1_mode: {f1_mode}")
+    return {"precision": p, "recall": r_, "f1": f1, "per_label": per_label}
+
+
+def eval_mentions(gold_mentions: "DataFrame", pred_mentions: "DataFrame") -> dict:
+    """NER + modality eval (MhsEvaluator.eval_ner/.eval_mod semantics,
+    reference clinical_eval.py:125-133): tuple = (url, sent_id, span, tag[,mod])."""
+    ner = prf_summary(
+        gold_mentions, pred_mentions,
+        ["url", "sent_id", "begin_tok", "end_tok"], "ner_tag",
+    )
+    mod = prf_summary(
+        gold_mentions.withColumn("m", F.concat_ws("/", "ner_tag", "mod_tag")),
+        pred_mentions.withColumn("m", F.concat_ws("/", "ner_tag", "mod_tag")),
+        ["url", "sent_id", "begin_tok", "end_tok"], "m",
+    )
+    return {"ner": ner, "mod": mod}
+
+
+def eval_triples(gold_triples: "DataFrame", pred_triples: "DataFrame") -> dict:
+    """Mention-string relation eval (MhsEvaluator.eval_mention_rel,
+    reference clinical_eval.py:145-149)."""
+    cols = ["url", "sent_id", "subj_surface", "obj_surface"]
+    return prf_summary(
+        gold_triples.select(*cols, "pred"),
+        pred_triples.select(*cols, "pred"),
+        cols,
+        "pred",
+    )

@@ -1,0 +1,343 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1-§4).
+
+Generates Common-Crawl-style ``pages`` rows in exactly the BASELINE.json
+``input_hint`` shape — ``(url, warc_ts, html, text, lang)`` — together with
+MedTxt-style gold annotations (mentions / relations / mention-triples) derived
+from template metadata, NOT from the tagger, so the e2e P/R gate is a real
+comparison.
+
+Sentences are instantiated from a fixed template grammar over the concept
+dictionary (jamie_spark.concepts). Every template records which slots carry
+entities, their modality, and which relation rules apply — mirroring the
+reference's annotated-XML semantics: relations anchored on span-final tokens
+(reference ``utils.py:804-814``), DCT self-loops (``utils.py:687-691``),
+modality on span-final token (``data_objects.py:226-229``), tid assignment in
+document order (``data_objects.py:272-277``).
+
+Byte-identity contract: ``textnorm.extract_text(html) == text`` per url,
+where ``html`` wraps the text blocks in boilerplate (nav/header/footer) that
+the extractor must strip.
+
+Everything is seeded ``random.Random(seed)`` — same (n_docs, seed) always
+yields the same corpus on any machine.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+from . import concepts
+from .textnorm import escape_html
+from .tokenizer import tokenize
+
+# --- template grammar -------------------------------------------------------
+# part = literal string | (slot_role,) placeholder
+# slot roles: dis / anat / drug / time / key / val
+
+_T_FINDING = ("time", "、", "anat", "に", "dis", "を認める。")
+_T_SUSPECT = ("anat", "に", "dis", "の疑いがある。")
+_T_NEGATED = ("dis", "は認められない。")
+_T_DRUG_EXEC = ("drug", "を投与した。")
+_T_DRUG_SCHED = ("drug", "の投与を予定している。")
+_T_TESTVAL = ("key", "は", "val", "であった。")
+_T_JASP = ("time", "、", "anat", "　", "dis", "あり。")
+_T_PLAIN = ("その後、経過は良好である。",)
+
+TEMPLATES = [
+    _T_FINDING,
+    _T_SUSPECT,
+    _T_NEGATED,
+    _T_DRUG_EXEC,
+    _T_DRUG_SCHED,
+    _T_TESTVAL,
+    _T_JASP,
+    _T_PLAIN,
+]
+
+_ROLES = {"dis", "anat", "drug", "time", "key", "val"}
+
+_ROLE_TAG = {
+    "dis": "d",
+    "anat": "a",
+    "drug": "r",
+    "time": "TIMEX3",
+    "key": "t-key",
+    "val": "t-val",
+}
+
+# template -> disease certainty / drug state (gold modality, from the grammar)
+_TEMPLATE_MOD = {
+    id(_T_FINDING): {"dis": "positive"},
+    id(_T_SUSPECT): {"dis": "suspicious"},
+    id(_T_NEGATED): {"dis": "negative"},
+    id(_T_DRUG_EXEC): {"drug": "executed"},
+    id(_T_DRUG_SCHED): {"drug": "scheduled"},
+    id(_T_TESTVAL): {},
+    id(_T_JASP): {"dis": "positive"},
+    id(_T_PLAIN): {},
+}
+
+_EN_WORDS = (
+    "the quick crawl fetched this page and found only boilerplate text "
+    "with no clinical content at all"
+).split()
+
+
+def _pick_surface(rng: random.Random, role: str) -> str:
+    if role == "dis":
+        return rng.choice(concepts.DISEASES)
+    if role == "anat":
+        return rng.choice(concepts.ANATOMY)
+    if role == "drug":
+        return rng.choice(concepts.DRUGS)
+    if role == "time":
+        return rng.choice(sorted(concepts.TIMES))
+    if role == "key":
+        return rng.choice(concepts.TEST_KEYS)
+    if role == "val":
+        return rng.choice(concepts.TEST_VALS)
+    raise ValueError(role)
+
+
+class _Slot:
+    __slots__ = ("role", "surface", "tag", "mod", "begin", "end")
+
+    def __init__(self, role: str, surface: str, tag: str, mod: str):
+        self.role = role
+        self.surface = surface
+        self.tag = tag
+        self.mod = mod
+        self.begin = -1
+        self.end = -1
+
+
+def _instantiate(rng: random.Random, template: tuple) -> tuple[str, list[_Slot]]:
+    """Fill a template; compute token spans for every slot.
+
+    Asserts that tokenization is compositional across part boundaries (the
+    grammar guarantees class changes at every boundary), so slot spans are
+    exact under the pinned tokenizer.
+    """
+    mods = _TEMPLATE_MOD[id(template)]
+    parts: list[tuple[str, _Slot | None]] = []
+    slots: list[_Slot] = []
+    for part in template:
+        if part in _ROLES:
+            surface = _pick_surface(rng, part)
+            tag = _ROLE_TAG[part]
+            if part == "time":
+                mod = concepts.TIMES[surface]
+            else:
+                mod = mods.get(part, "_")
+            slot = _Slot(part, surface, tag, mod)
+            slots.append(slot)
+            parts.append((surface, slot))
+        else:
+            parts.append((part, None))
+
+    sentence = "".join(p for p, _ in parts)
+    offset = 0
+    all_toks: list[str] = []
+    for text, slot in parts:
+        toks = tokenize(text)
+        if slot is not None:
+            slot.begin = offset
+            slot.end = offset + len(toks)
+        offset += len(toks)
+        all_toks.extend(toks)
+    assert all_toks == tokenize(sentence), (
+        f"non-compositional tokenization for {sentence!r}"
+    )
+    return sentence, slots
+
+
+def _sentence_relations(slots: list[_Slot]) -> list[tuple[_Slot, _Slot, str]]:
+    """Gold relations from the grammar (same rule set the corpus encodes)."""
+    rels: list[tuple[_Slot, _Slot, str]] = []
+    ds = [s for s in slots if s.role == "dis"]
+    anats = [s for s in slots if s.role == "anat"]
+    times = [s for s in slots if s.role == "time"]
+    keys = [s for s in slots if s.role == "key"]
+    vals = [s for s in slots if s.role == "val"]
+    for d in ds:
+        for a in anats:
+            rels.append((d, a, concepts.REL_REGION))
+        for t in times:
+            rels.append((d, t, concepts.REL_TIME))
+        if times:
+            rels.append((d, d, concepts.DCT_ON))  # DCT self-loop
+    for v in vals:
+        preceding = [k for k in keys if k.end <= v.begin]
+        if preceding:
+            rels.append((v, max(preceding, key=lambda k: k.end), concepts.REL_VALUE))
+    return rels
+
+
+def _make_html(sentences: list[str], doc_id: int) -> str:
+    body = "".join(f"<p>{escape_html(s)}</p>" for s in sentences)
+    return (
+        "<html><head><title>fixture</title><script>var x=1;</script></head>"
+        f"<body><nav>ナビゲーション {doc_id}</nav>"
+        f"<article>{body}</article>"
+        "<footer>コピーライト fixture.test</footer></body></html>"
+    )
+
+
+def gen_corpus(
+    n_docs: int, seed: int = 42, skew: bool = False
+) -> tuple[list[dict], list[dict], list[dict], list[dict]]:
+    """Generate (pages, gold_mentions, gold_relations, gold_triples) rows.
+
+    * pages: (url, warc_ts, html, text, lang) — html as utf-8 bytes.
+    * gold_mentions: (url, sent_id, begin_tok, end_tok, ner_tag, mod_tag,
+      tid, surface)
+    * gold_relations: (url, arg1_tid, arg2_tid, reltype); arg1==arg2 = DCT.
+    * gold_triples: (url, sent_id, subj_surface, pred, obj_surface) —
+      mention-triplet semantics, reference data_objects.py:251-265.
+
+    ``skew=True`` forces the head disease 肺癌 into ~30% of sentences
+    (FIXTURES.md §6, for the salted-partitioning test).
+    """
+    rng = random.Random(seed)
+    t0 = datetime(2026, 1, 1)
+    pages: list[dict] = []
+    gold_mentions: list[dict] = []
+    gold_relations: list[dict] = []
+    gold_triples: list[dict] = []
+
+    entity_templates = [t for t in TEMPLATES if t is not _T_PLAIN]
+
+    for doc_id in range(n_docs):
+        url = f"https://fixture.test/doc/{doc_id}"
+        is_foreign = rng.random() < 0.05
+        if is_foreign:
+            n_words = rng.randint(8, 16)
+            text = " ".join(rng.choice(_EN_WORDS) for _ in range(n_words))
+            pages.append(
+                {
+                    "url": url,
+                    "warc_ts": t0 + timedelta(minutes=doc_id),
+                    "html": _make_html([text], doc_id).encode("utf-8"),
+                    "text": text,
+                    "lang": "en",
+                }
+            )
+            continue
+
+        n_sents = rng.randint(2, 5)
+        sentences: list[str] = []
+        doc_slots: list[tuple[int, list[_Slot]]] = []
+        for sent_id in range(n_sents):
+            template = rng.choice(TEMPLATES if rng.random() < 0.9 else [_T_PLAIN])
+            if template is _T_PLAIN:
+                sentences.append(_T_PLAIN[0])
+                doc_slots.append((sent_id, []))
+                continue
+            sentence, slots = _instantiate(rng, template)
+            if skew and any(s.role == "dis" for s in slots) and rng.random() < 0.45:
+                # rebuild with the head entity pinned
+                for s in slots:
+                    if s.role == "dis":
+                        s.surface = "肺癌"
+                sentence = ""
+                offset = 0
+                rebuilt: list[str] = []
+                for part in template:
+                    if part in _ROLES:
+                        slot = next(s for s in slots if s.role == part and s.begin >= 0)
+                        toks = tokenize(slot.surface)
+                        slot.begin, slot.end = offset, offset + len(toks)
+                        offset += len(toks)
+                        rebuilt.append(slot.surface)
+                    else:
+                        offset += len(tokenize(part))
+                        rebuilt.append(part)
+                sentence = "".join(rebuilt)
+            sentences.append(sentence)
+            doc_slots.append((sent_id, slots))
+
+        text = "\n".join(sentences)
+        pages.append(
+            {
+                "url": url,
+                "warc_ts": t0 + timedelta(minutes=doc_id),
+                "html": _make_html(sentences, doc_id).encode("utf-8"),
+                "text": text,
+                "lang": "ja",
+            }
+        )
+
+        # tids in document order (reference data_objects.py:272-277)
+        tid = 0
+        slot_tid: dict[int, str] = {}
+        for sent_id, slots in doc_slots:
+            for slot in sorted(slots, key=lambda s: s.begin):
+                tid += 1
+                slot_tid[id(slot)] = f"T{tid}"
+                gold_mentions.append(
+                    {
+                        "url": url,
+                        "sent_id": sent_id,
+                        "begin_tok": slot.begin,
+                        "end_tok": slot.end,
+                        "ner_tag": slot.tag,
+                        "mod_tag": slot.mod,
+                        "tid": f"T{tid}",
+                        "surface": slot.surface,
+                    }
+                )
+            for tail, head, rel in _sentence_relations(slots):
+                gold_relations.append(
+                    {
+                        "url": url,
+                        "arg1_tid": slot_tid[id(tail)],
+                        "arg2_tid": slot_tid[id(head)],
+                        "reltype": rel,
+                    }
+                )
+                gold_triples.append(
+                    {
+                        "url": url,
+                        "sent_id": sent_id,
+                        "subj_surface": tail.surface,
+                        "pred": rel,
+                        "obj_surface": head.surface,
+                    }
+                )
+
+    return pages, gold_mentions, gold_relations, gold_triples
+
+
+# --- Spark loaders -----------------------------------------------------------
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+GOLD_MENTIONS_DDL = (
+    "url string, sent_id int, begin_tok int, end_tok int, "
+    "ner_tag string, mod_tag string, tid string, surface string"
+)
+GOLD_RELATIONS_DDL = "url string, arg1_tid string, arg2_tid string, reltype string"
+GOLD_TRIPLES_DDL = (
+    "url string, sent_id int, subj_surface string, pred string, obj_surface string"
+)
+
+
+def pages_df(spark, n_docs: int, seed: int = 42, skew: bool = False):
+    pages, _, _, _ = gen_corpus(n_docs, seed, skew)
+    return spark.createDataFrame(pages, schema=PAGES_DDL)
+
+
+def gold_dfs(spark, n_docs: int, seed: int = 42, skew: bool = False):
+    _, mentions, relations, triples = gen_corpus(n_docs, seed, skew)
+    return (
+        spark.createDataFrame(mentions, schema=GOLD_MENTIONS_DDL),
+        spark.createDataFrame(relations, schema=GOLD_RELATIONS_DDL),
+        spark.createDataFrame(triples, schema=GOLD_TRIPLES_DDL),
+    )
+
+
+def concept_df(spark):
+    return spark.createDataFrame(
+        concepts.concept_rows(),
+        schema="concept_id string, canonical string, alias string, sem_type string",
+    )

@@ -1,0 +1,146 @@
+"""The fused NLP front-end: one Arrow-batched ``mapInPandas`` stage.
+
+pages(url, warc_ts, html, text, lang)
+  -> annotations(url, sent_id, tokens, ner, mod, rels, heads, entities, triples)
+
+Everything the reference does per document — extraction (N1), width
+normalization (T1), segmentation (T2), tokenization (T3), joint
+NER/modality/relation decode (M1-M3), BIO span decode (B1), mention-triplet
+derivation — runs in ONE python stage per input partition, so the corpus
+crosses the JVM<->Python Arrow boundary exactly once. This is the engine's
+answer to the reference's per-document Python loop
+(``utils.py:851-881`` + ``clinical_joint.py:19-102``): same semantics, no
+driver-side iteration, no per-row Python, shuffle-free.
+
+Scale notes (100 TB):
+* the lang filter is applied BEFORE this stage on a plain column, so Catalyst
+  pushes it into the parquet/Iceberg scan and non-target pages are never
+  deserialized, let alone shipped to Python;
+* the model (here: the deterministic stand-in; in production: the torch
+  artifact) is loaded once per executor python worker via a module-level
+  cache — the load-once pattern the reference gets for free on one machine;
+* output rows are one-per-sentence but all sequence context stays intra-row
+  (arrays), so downstream span ops need no shuffle;
+* entities/triples are decoded here and exploded later JVM-side — a second
+  Python pass would double Arrow (de)serialization for no benefit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .standin import MODEL_VERSION, StandInJointExtractor
+from .textnorm import extract_text, zen_to_han
+from .tokenizer import TOKENIZER_VERSION, split_sentences, tokenize
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+ANNOTATIONS_DDL = (
+    "url string, sent_id int, tokens array<string>, "
+    "ner array<string>, mod array<string>, "
+    "rels array<array<string>>, heads array<array<int>>, "
+    "entities array<struct<tag:string, begin:int, end:int, mod:string, "
+    "surface:string>>, "
+    "triples array<struct<tail_surface:string, head_surface:string, "
+    "rel:string, tail_tag:string, head_tag:string, tail_mod:string>>"
+)
+
+STAGE_VERSION = f"{TOKENIZER_VERSION}+{MODEL_VERSION}"
+
+# module-level per-python-worker cache (reference analog: the single in-process
+# model of clinical_joint.py; here each executor worker loads once and reuses)
+_TAGGER: StandInJointExtractor | None = None
+
+
+def _get_tagger() -> StandInJointExtractor:
+    global _TAGGER
+    if _TAGGER is None:
+        _TAGGER = StandInJointExtractor()
+    return _TAGGER
+
+
+def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .bio import bio_to_spans, rel_triplets
+
+    tagger = _get_tagger()
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "url", "sent_id", "tokens", "ner", "mod", "rels", "heads",
+            "entities", "triples",
+        )}
+        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            try:
+                body = text if text else extract_text(html)
+                body = zen_to_han(body)
+                for sent_id, sentence in enumerate(split_sentences(body)):
+                    toks = tokenize(sentence)
+                    ner, mod, rels, heads = tagger.annotate_sentence(toks)
+                    spans = bio_to_spans(ner)
+                    entities = [
+                        {
+                            "tag": tag,
+                            "begin": b,
+                            "end": e,
+                            "mod": mod[e - 1],
+                            "surface": "".join(toks[b:e]),
+                        }
+                        for tag, b, e in spans
+                    ]
+                    last = {e - 1: (tag, b, e) for tag, b, e in spans}
+                    triples = []
+                    for tail_id, head_id, rel in rel_triplets(rels, heads):
+                        if tail_id in last and head_id in last:
+                            tt, tb, te = last[tail_id]
+                            ht, hb, he = last[head_id]
+                            triples.append(
+                                {
+                                    "tail_surface": "".join(toks[tb:te]),
+                                    "head_surface": "".join(toks[hb:he]),
+                                    "rel": rel,
+                                    "tail_tag": tt,
+                                    "head_tag": ht,
+                                    "tail_mod": mod[te - 1],
+                                }
+                            )
+                    out["url"].append(url)
+                    out["sent_id"].append(sent_id)
+                    out["tokens"].append(toks)
+                    out["ner"].append(ner)
+                    out["mod"].append(mod)
+                    out["rels"].append(rels)
+                    out["heads"].append(heads)
+                    out["entities"].append(entities)
+                    out["triples"].append(triples)
+            except Exception:
+                # per-row error isolation (reference utils.py:844-846): one bad
+                # page must never kill the job; it simply yields no sentences.
+                continue
+        if out["url"]:
+            # never yield an empty frame: pandas types empty columns float64,
+            # which Arrow cannot convert to list<string> (found by probing an
+            # all-garbage partition).
+            yield pd.DataFrame(out)
+
+
+def annotate_pages(pages: "DataFrame", lang: str = "ja") -> "DataFrame":
+    """pages -> per-sentence annotations (the M1 stage).
+
+    The ``lang`` filter sits on a plain column before ``mapInPandas`` so it is
+    pushed into the scan (verify: ``.explain`` shows PushedFilters on lang).
+    """
+    filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
+    return filtered.mapInPandas(_annotate_batches, schema=ANNOTATIONS_DDL)
+
+
+def extraction_only(pages: "DataFrame") -> "DataFrame":
+    """(url, extracted_text) — N1 alone, for the byte-identity test."""
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(extract_text)
+
+    extract_udf = F.pandas_udf(_extract, "string")
+    return pages.select("url", extract_udf(F.col("html")).alias("extracted_text"))

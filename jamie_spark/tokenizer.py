@@ -1,0 +1,107 @@
+"""Deterministic segmentation + tokenization (T2/T3 in SURVEY.md §2.2).
+
+The reference tokenizes with MeCab/Juman++ behind ``MorphologicalAnalyzer``
+(reference ``utils.py:28-60``) and segments with ``textformatting.ssplit``
+(``utils.py:304,703``). Neither external analyzer exists in this environment,
+and a port would not be Spark-first anyway; the engine instead pins its own
+*versioned deterministic* tokenizer so that worker-side behavior is identical
+everywhere (the property the reference gets implicitly from a single process —
+SURVEY.md §7 "what's hard").
+
+Grammar (TOKENIZER_VERSION bumps on any change):
+
+* sentences end at ``。`` / ``！`` / ``？`` / newline (delimiter kept with the
+  sentence, like ssplit);
+* a token is a maximal run of characters of one class:
+  KANJI / HIRAGANA / KATAKANA(+ー) / ASCII-alnum(+ ``.``) — after width
+  normalization there are no full-width ASCII runs left;
+* the ideographic space U+3000 becomes the in-band token ``[JASP]``
+  (reference ``utils.py:399,678``); ASCII whitespace separates tokens and is
+  dropped; every other character is a single-char token.
+
+Pure functions only — they run inside the Arrow-batched extraction UDF
+(jamie_spark.infer) and in the fixture generator, guaranteeing that gold spans
+and pipeline spans are computed by the same grammar.
+"""
+
+from __future__ import annotations
+
+from .textnorm import IDEOGRAPHIC_SPACE, JASP
+
+TOKENIZER_VERSION = "jamie-spark-tok-1"
+
+_SENT_END = ("。", "！", "？")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Segment normalized text into sentences (T2).
+
+    Newlines are hard boundaries; ``。！？`` end a sentence and stay attached.
+    Empty sentences are dropped.
+    """
+    sentences: list[str] = []
+    for line in text.split("\n"):
+        buf: list[str] = []
+        for ch in line:
+            buf.append(ch)
+            if ch in _SENT_END:
+                sent = "".join(buf).strip(" ")
+                if sent:
+                    sentences.append(sent)
+                buf = []
+        tail = "".join(buf).strip(" ")
+        if tail:
+            sentences.append(tail)
+    return sentences
+
+
+def _char_class(ch: str) -> int:
+    cp = ord(ch)
+    if 0x4E00 <= cp <= 0x9FFF or cp in (0x3005,):  # kanji + 々
+        return 1
+    if 0x3040 <= cp <= 0x309F:  # hiragana
+        return 2
+    if 0x30A0 <= cp <= 0x30FF or cp == 0x30FC:  # katakana + ー
+        return 3
+    if ch.isascii() and (ch.isalnum() or ch == "."):
+        return 4
+    return 0  # punctuation / symbols: never merges
+
+
+def tokenize(sentence: str) -> list[str]:
+    """Tokenize one normalized sentence (T3). Deterministic char-class runs."""
+    toks: list[str] = []
+    run_cls = None
+    buf: list[str] = []
+
+    def flush() -> None:
+        nonlocal buf, run_cls
+        if buf:
+            toks.append("".join(buf))
+            buf = []
+        run_cls = None
+
+    for ch in sentence:
+        if ch == IDEOGRAPHIC_SPACE:
+            flush()
+            toks.append(JASP)
+            continue
+        if ch in (" ", "\t", "\r"):
+            flush()
+            continue
+        cls = _char_class(ch)
+        if cls == 0:
+            flush()
+            toks.append(ch)
+            continue
+        if cls != run_cls:
+            flush()
+            run_cls = cls
+        buf.append(ch)
+    flush()
+    return toks
+
+
+def tokenize_text(text: str) -> list[list[str]]:
+    """Segment + tokenize a whole document: list of token lists per sentence."""
+    return [tokenize(s) for s in split_sentences(text)]

@@ -1,0 +1,200 @@
+"""End-to-end Spark pipeline tests: extraction, eval gate, linking,
+canonicalization, materialization, lineage/resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jamie_spark import canon, eval as ev, fixtures, graph, infer, link, pipeline
+
+N_DOCS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = fixtures.pages_df(spark, N_DOCS, SEED).cache()
+    gold_m, gold_r, gold_t = fixtures.gold_dfs(spark, N_DOCS, SEED)
+    return {
+        "pages": pages,
+        "gold_mentions": gold_m.cache(),
+        "gold_relations": gold_r,
+        "gold_triples": gold_t.cache(),
+        "concepts": fixtures.concept_df(spark).cache(),
+    }
+
+
+@pytest.fixture(scope="module")
+def extracted(corpus):
+    out = pipeline.run_extraction(corpus["pages"])
+    out["annotations"] = out["annotations"].cache()
+    return out
+
+
+def test_extraction_byte_identity_distributed(spark, corpus):
+    """N1 invariant through the Arrow UDF path: extracted == reference text."""
+    ext = infer.extraction_only(corpus["pages"])
+    joined = ext.join(corpus["pages"], "url")
+    n_bad = joined.where(F.col("extracted_text") != F.col("text")).count()
+    assert n_bad == 0
+
+
+def test_lang_filter_pushdown(corpus):
+    """The lang filter must reach the scan, not hide behind the UDF."""
+    plan = infer.annotate_pages(corpus["pages"])._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    # filter appears below the python stage (it was applied pre-UDF)
+    assert "lang" in plan
+
+
+def test_mentions_match_gold(spark, corpus, extracted):
+    """NER + modality P/R == 1.0 on the fixture corpus (E2/E3 gate)."""
+    scores = ev.eval_mentions(corpus["gold_mentions"], extracted["mentions"])
+    assert scores["ner"]["f1"] == pytest.approx(1.0)
+    assert scores["mod"]["f1"] == pytest.approx(1.0)
+
+
+def test_triples_match_gold(spark, corpus, extracted):
+    """Mention-string triple P/R >= 0.95 gate (BASELINE.md) — exact here."""
+    scores = ev.eval_triples(corpus["gold_triples"], extracted["triples"])
+    assert scores["precision"] == pytest.approx(1.0)
+    assert scores["recall"] == pytest.approx(1.0)
+
+
+def test_tid_assignment_matches_gold(corpus, extracted):
+    """Document-order T{n} numbering (reference data_objects.py:272-277)."""
+    pred = extracted["mentions"].select("url", "sent_id", "begin_tok", "tid")
+    gold = corpus["gold_mentions"].select(
+        "url", "sent_id", "begin_tok", F.col("tid").alias("gold_tid")
+    )
+    n_bad = (
+        pred.join(gold, ["url", "sent_id", "begin_tok"])
+        .where(F.col("tid") != F.col("gold_tid"))
+        .count()
+    )
+    assert n_bad == 0
+
+
+def test_evaluator_detects_errors(spark, corpus, extracted):
+    """The evaluator is a real gate: a perturbed prediction scores < 1.0
+    with exactly the multiset tps/fps/fns bookkeeping of the reference."""
+    pred = extracted["triples"].withColumn(
+        "pred",
+        F.when(F.col("pred") == "region", F.lit("timeOnset")).otherwise(F.col("pred")),
+    )
+    scores = ev.eval_triples(corpus["gold_triples"], pred)
+    assert scores["f1"] < 1.0
+    region = scores["per_label"]["region"]
+    assert region["recall"] == 0.0
+
+
+def test_linking_exact_and_fuzzy(spark, corpus):
+    surfaces = spark.createDataFrame(
+        [("肺癌",), ("アスピリン",), ("肺がん",), ("はいえん",), ("ワーファリン",)],
+        "surface string",
+    )
+    links = link.link_surfaces(surfaces, corpus["concepts"]).collect()
+    by_surface = {r["surface"]: r for r in links}
+    # exact hits
+    assert by_surface["肺癌"]["method"] == "exact"
+    assert by_surface["肺がん"]["method"] == "exact"  # alias row exists
+    # every dictionary alias surface resolves to its own concept
+    lung = by_surface["肺癌"]["concept_id"]
+    assert by_surface["肺がん"]["concept_id"] == lung
+
+
+def test_linking_fuzzy_minhash(spark, corpus):
+    """A surface absent from the alias table links via MinHash candidates."""
+    surfaces = spark.createDataFrame([("アスピリン錠剤",)], "surface string")
+    links = link.link_surfaces(surfaces, corpus["concepts"]).collect()
+    assert len(links) == 1
+    assert links[0]["method"] == "minhash"
+    aspirin = (
+        corpus["concepts"].where(F.col("canonical") == "アスピリン").first()["concept_id"]
+    )
+    assert links[0]["concept_id"] == aspirin
+
+
+def test_canonicalization_components(spark, corpus):
+    """Cross-linked alias groups merge; independent concepts stay apart."""
+    canon_map = canon.canonicalize_concepts(corpus["concepts"])
+    rows = {r["concept_id"]: r["canonical_id"] for r in canon_map.collect()}
+    cdf = corpus["concepts"]
+    cid = {
+        r["canonical"]: r["concept_id"]
+        for r in cdf.select("canonical", "concept_id").distinct().collect()
+    }
+    # every concept got a canonical id; representative is min concept_id
+    assert set(rows) == set(cid.values())
+    assert all(rows[c] <= c for c in rows)
+    # 肺癌 and 胃癌 are distinct components
+    assert rows[cid["肺癌"]] != rows[cid["胃癌"]]
+
+
+def test_full_kg_and_materialization(spark, corpus, tmp_path):
+    result = pipeline.run_kg(corpus["pages"], corpus["concepts"])
+    canonical = result["canonical_triples"].cache()
+    n = canonical.count()
+    assert n > 0
+    # every subj/obj resolved to a concept id or kept as surface fallback
+    assert canonical.where(F.col("subj_id").isNull()).count() == 0
+
+    out = str(tmp_path / "graph")
+    graph.materialize(canonical, out, n_buckets=8, n_salts=4)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # bucket pruning column exists and is within range
+    assert back.select(F.max("bucket")).first()[0] < 8
+
+
+def test_skew_salting_bounds_partition_sizes(spark):
+    """FIXTURES.md §6: with a 肺癌-heavy corpus, salting keeps the max
+    (bucket, salt) cell within a sane multiple of the median."""
+    pages = fixtures.pages_df(spark, 300, seed=7, skew=True)
+    concepts_df = fixtures.concept_df(spark)
+    result = pipeline.run_kg(pages, concepts_df)
+    canonical = result["canonical_triples"].cache()
+    hist = graph.partition_histogram(canonical, n_buckets=8, n_salts=8).cache()
+    salted_max = hist.agg(F.max("rows")).first()[0]
+    unsalted_max = (
+        hist.groupBy("bucket").agg(F.sum("rows").alias("rows"))
+        .agg(F.max("rows")).first()[0]
+    )
+    # the hot subject's bucket must be spread over the salt dimension
+    assert salted_max * 2 <= unsalted_max, (salted_max, unsalted_max)
+    canonical.unpersist()
+
+
+def test_lineage_resume_idempotent(spark, corpus, tmp_path):
+    """Kill-after-k-buckets then rerun == one-shot run; no duplicate lineage."""
+    out = str(tmp_path / "kg")
+    # simulated crash: only 2 buckets complete
+    first = pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out, n_buckets=4, max_buckets=2
+    )
+    assert len(first) == 2
+    # resume: remaining buckets only
+    second = pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out, n_buckets=4
+    )
+    assert sorted(first + second) == [0, 1, 2, 3]
+    # third run: nothing pending
+    third = pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out, n_buckets=4
+    )
+    assert third == []
+
+    resumed = pipeline.read_materialized(spark, out)
+    oneshot = pipeline.run_kg(corpus["pages"], corpus["concepts"])["canonical_triples"]
+    key = ["url", "sent_id", "subj_surface", "pred", "obj_surface", "subj_id", "obj_id"]
+    a = resumed.groupBy(*key).count()
+    b = oneshot.groupBy(*key).count()
+    assert a.join(b, key + ["count"], "full_outer").where(
+        F.col("count").isNull()
+    ).count() == 0
+    assert a.count() == b.count()
+
+    lin = pipeline.lineage.read_lineage(spark, out)
+    assert lin.groupBy("bucket").count().where(F.col("count") > 1).count() == 0
+    assert lin.agg(F.sum("triple_count")).first()[0] == oneshot.count()
