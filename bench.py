@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode (what the per-round driver runs):
+    python bench.py
+prints ONE JSON line:
+    {"metric": "total_bench_sec", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "kg_docs_per_sec": ...}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+    SPARK_GRAFT_KG_DOCS  synthetic KG corpus size (default 40000)
+
+Scaling mode (north_rule: throughput efficiency >= 0.8 from N to 4N
+executors, sandboxed as local[8] vs local[32]):
+    python bench.py --scaling
+runs the KG pipeline at both parallelism levels in fresh JVMs and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("jamie-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_kg_bench(spark, n_docs: int, warmup: bool = True) -> tuple[float, int]:
+    """Full KG pipeline on a distributed synthetic corpus; returns (sec, rows).
+
+    The corpus is materialized (cached + counted) BEFORE the clock starts so
+    we time the engine, not the generator. ``warmup`` runs the same pipeline
+    once on a tiny corpus first so JIT/codegen compilation (measured at
+    ~10-15s of cold-JVM variance) doesn't pollute the throughput number —
+    on a real cluster executors are long-lived and warm.
+    """
+    from jamie_spark import fixtures, pipeline
+
+    concepts = fixtures.concept_df(spark)
+    if warmup:
+        wpages = fixtures.pages_df_distributed(spark, 2000, seed=7).cache()
+        wpages.count()
+        wr = pipeline.run_kg(wpages, concepts)
+        wr["canonical_triples"].count()
+        wr["annotations"].unpersist()
+        wpages.unpersist()
+
+    pages = fixtures.pages_df_distributed(spark, n_docs, seed=42).cache()
+    pages.count()
+    t0 = time.perf_counter()
+    result = pipeline.run_kg(pages, concepts)
+    n = result["canonical_triples"].count()
+    dt = time.perf_counter() - t0
+    result["annotations"].unpersist()
+    pages.unpersist()
+    return dt, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_KG_DOCS", "40000"))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    kg_sec, kg_rows = run_kg_bench(spark, n_docs)
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    bench_queries = [
+        "q1_pricing",
+        "broadcast_dim_join",
+        "tumbling_window",
+        "r2_pair_counts",
+        "n3_window_top1",
+        "e2_eval_prf",
+        "kg_mentions",
+        "kg_triples_window",
+        "token_counts",
+        "text_quality",
+        "lang_id",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "doc_fingerprint",
+        "sim_cosine_topk",
+        "sim_lsh_topk",
+    ]
+    qmap = entry_mod.queries()
+    for name in bench_queries:
+        t = time.perf_counter()
+        qmap[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    total = round(time.perf_counter() - t0, 3)
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "kg_docs": n_docs,
+        "kg_triples": kg_rows,
+        "kg_docs_per_sec": round(n_docs / kg_sec, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+CORPUS_PATH = "/tmp/jamie_bench_corpus.parquet"
+
+
+def materialize_corpus(n_docs: int) -> None:
+    """Generate the bench corpus ONCE (distributed) and land it as parquet.
+
+    Both scaling runs then read the identical on-disk input — the sandbox
+    analog of the Iceberg pages table, columnar and off-heap (caching 10^6
+    rows of html bytes as JVM objects measured as a GC drag)."""
+    from jamie_spark import fixtures
+
+    spark = build_spark(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    fixtures.pages_df_distributed(spark, n_docs, seed=42, n_partitions=64)\
+        .write.mode("overwrite").parquet(CORPUS_PATH)
+    spark.stop()
+
+
+def kg_from_parquet(cpus: int, n_docs: int) -> None:
+    """Timed KG run over the pre-materialized parquet corpus (one JVM)."""
+    from jamie_spark import fixtures, pipeline
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    concepts = fixtures.concept_df(spark)
+    # warm JIT/codegen with a tiny run (executors on a real cluster are warm)
+    wp = fixtures.pages_df_distributed(spark, 2000, seed=7)
+    wr = pipeline.run_kg(wp, concepts)
+    wr["canonical_triples"].count()
+    wr["annotations"].unpersist()
+
+    pages = spark.read.parquet(CORPUS_PATH)
+    t0 = time.perf_counter()
+    result = pipeline.run_kg(pages, concepts,
+                             checkpoint_dir=f"/tmp/jamie_ckpt_{cpus}")
+    n = result["canonical_triples"].count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "docs": n_docs, "sec": round(dt, 3),
+                      "docs_per_sec": round(n_docs / dt, 1), "triples": n}))
+    spark.stop()
+
+
+def kg_only(cpus: int, n_docs: int) -> None:
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sec, rows = run_kg_bench(spark, n_docs)
+    print(json.dumps({"cpus": cpus, "docs": n_docs, "sec": round(sec, 3),
+                      "docs_per_sec": round(n_docs / sec, 1), "triples": rows}))
+    spark.stop()
+
+
+#: The two cluster sizes. On one 32-CPU box a python-heavy Spark job uses
+#: ~2 threads per task slot (JVM task + python worker); local[32] would
+#: oversubscribe and anti-scale (measured), which a real 4N-executor cluster
+#: does not do. local[4] vs local[16] keeps slots*2 <= CPUs at both sizes —
+#: the honest single-box stand-in for N vs 4N executors.
+SCALING_PAIR = (4, 16)
+
+
+def scaling(n_docs: int) -> None:
+    """N vs 4N cores on the identical parquet corpus -> BENCH/BASELINE.md."""
+    lo, hi = SCALING_PAIR
+    materialize_corpus(n_docs)
+    results = {}
+    for cpus in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, __file__, "--kg-parquet", str(cpus), str(n_docs)],
+            capture_output=True, text=True, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+        print(line)
+    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    eff = (t_lo / t_hi) / (hi // lo)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fo:
+        fo.write(
+            "# BENCH — measured throughput + scaling efficiency\n\n"
+            "Full KG pipeline (extract -> annotate -> link -> canonicalize -> "
+            "count) over an identical pre-materialized parquet corpus at two "
+            "parallelism levels (sandbox stand-in for N vs 4N executors per "
+            "BASELINE.md; no real cluster available). Each Spark task slot of "
+            "a python-UDF-heavy job occupies ~2 OS threads (JVM task + python "
+            "worker), so the pair is chosen to keep both runs un-oversubscribed "
+            f"on the 32-CPU box: local[{lo}] vs local[{hi}].\n\n"
+            f"| parallelism | docs | sec | docs/sec |\n|---|---|---|---|\n"
+            f"| local[{lo}] | {n_docs} | {t_lo:.2f} | {results[lo]['docs_per_sec']} |\n"
+            f"| local[{hi}] | {n_docs} | {t_hi:.2f} | {results[hi]['docs_per_sec']} |\n\n"
+            f"**Scaling efficiency (T{lo}/T{hi})/{hi // lo} = {eff:.3f}** "
+            f"(north_rule gate: >= 0.8)\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--kg-only":
+        kg_only(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--kg-parquet":
+        kg_from_parquet(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        nd = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+            os.environ.get("SPARK_GRAFT_SCALING_DOCS", "3600000")
+        )
+        scaling(nd)
+    else:
+        main()

@@ -199,114 +199,127 @@ def gen_corpus(
     ``skew=True`` forces the head disease 肺癌 into ~30% of sentences
     (FIXTURES.md §6, for the salted-partitioning test).
     """
-    rng = random.Random(seed)
-    t0 = datetime(2026, 1, 1)
     pages: list[dict] = []
     gold_mentions: list[dict] = []
     gold_relations: list[dict] = []
     gold_triples: list[dict] = []
-
-    entity_templates = [t for t in TEMPLATES if t is not _T_PLAIN]
-
     for doc_id in range(n_docs):
-        url = f"https://fixture.test/doc/{doc_id}"
-        is_foreign = rng.random() < 0.05
-        if is_foreign:
-            n_words = rng.randint(8, 16)
-            text = " ".join(rng.choice(_EN_WORDS) for _ in range(n_words))
-            pages.append(
+        page, m, r, t = gen_doc(doc_id, seed, skew)
+        pages.append(page)
+        gold_mentions.extend(m)
+        gold_relations.extend(r)
+        gold_triples.extend(t)
+    return pages, gold_mentions, gold_relations, gold_triples
+
+
+def gen_doc(
+    doc_id: int, seed: int = 42, skew: bool = False
+) -> tuple[dict, list[dict], list[dict], list[dict]]:
+    """Generate ONE document + its gold rows, independently of all others.
+
+    Per-doc RNG ``Random((seed, doc_id))`` makes generation embarrassingly
+    parallel: the distributed generator (:func:`pages_df_distributed`) calls
+    this from executors and produces byte-identical pages to the driver-side
+    :func:`gen_corpus` loop — no driver bottleneck at bench scale.
+    """
+    rng = random.Random(f"{seed}:{doc_id}")
+    t0 = datetime(2026, 1, 1)
+    url = f"https://fixture.test/doc/{doc_id}"
+    warc_ts = t0 + timedelta(minutes=doc_id % 525600)
+
+    if rng.random() < 0.05:
+        n_words = rng.randint(8, 16)
+        text = " ".join(rng.choice(_EN_WORDS) for _ in range(n_words))
+        page = {
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": _make_html([text], doc_id).encode("utf-8"),
+            "text": text,
+            "lang": "en",
+        }
+        return page, [], [], []
+
+    n_sents = rng.randint(2, 5)
+    sentences: list[str] = []
+    doc_slots: list[tuple[int, list[_Slot]]] = []
+    for sent_id in range(n_sents):
+        template = rng.choice(TEMPLATES if rng.random() < 0.9 else [_T_PLAIN])
+        if template is _T_PLAIN:
+            sentences.append(_T_PLAIN[0])
+            doc_slots.append((sent_id, []))
+            continue
+        sentence, slots = _instantiate(rng, template)
+        if skew and any(s.role == "dis" for s in slots) and rng.random() < 0.45:
+            # rebuild with the head entity pinned
+            for s in slots:
+                if s.role == "dis":
+                    s.surface = "肺癌"
+            offset = 0
+            rebuilt: list[str] = []
+            for part in template:
+                if part in _ROLES:
+                    slot = next(s for s in slots if s.role == part and s.begin >= 0)
+                    toks = tokenize(slot.surface)
+                    slot.begin, slot.end = offset, offset + len(toks)
+                    offset += len(toks)
+                    rebuilt.append(slot.surface)
+                else:
+                    offset += len(tokenize(part))
+                    rebuilt.append(part)
+            sentence = "".join(rebuilt)
+        sentences.append(sentence)
+        doc_slots.append((sent_id, slots))
+
+    text = "\n".join(sentences)
+    page = {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": _make_html(sentences, doc_id).encode("utf-8"),
+        "text": text,
+        "lang": "ja",
+    }
+
+    gold_mentions: list[dict] = []
+    gold_relations: list[dict] = []
+    gold_triples: list[dict] = []
+    # tids in document order (reference data_objects.py:272-277)
+    tid = 0
+    slot_tid: dict[int, str] = {}
+    for sent_id, slots in doc_slots:
+        for slot in sorted(slots, key=lambda s: s.begin):
+            tid += 1
+            slot_tid[id(slot)] = f"T{tid}"
+            gold_mentions.append(
                 {
                     "url": url,
-                    "warc_ts": t0 + timedelta(minutes=doc_id),
-                    "html": _make_html([text], doc_id).encode("utf-8"),
-                    "text": text,
-                    "lang": "en",
+                    "sent_id": sent_id,
+                    "begin_tok": slot.begin,
+                    "end_tok": slot.end,
+                    "ner_tag": slot.tag,
+                    "mod_tag": slot.mod,
+                    "tid": f"T{tid}",
+                    "surface": slot.surface,
                 }
             )
-            continue
-
-        n_sents = rng.randint(2, 5)
-        sentences: list[str] = []
-        doc_slots: list[tuple[int, list[_Slot]]] = []
-        for sent_id in range(n_sents):
-            template = rng.choice(TEMPLATES if rng.random() < 0.9 else [_T_PLAIN])
-            if template is _T_PLAIN:
-                sentences.append(_T_PLAIN[0])
-                doc_slots.append((sent_id, []))
-                continue
-            sentence, slots = _instantiate(rng, template)
-            if skew and any(s.role == "dis" for s in slots) and rng.random() < 0.45:
-                # rebuild with the head entity pinned
-                for s in slots:
-                    if s.role == "dis":
-                        s.surface = "肺癌"
-                sentence = ""
-                offset = 0
-                rebuilt: list[str] = []
-                for part in template:
-                    if part in _ROLES:
-                        slot = next(s for s in slots if s.role == part and s.begin >= 0)
-                        toks = tokenize(slot.surface)
-                        slot.begin, slot.end = offset, offset + len(toks)
-                        offset += len(toks)
-                        rebuilt.append(slot.surface)
-                    else:
-                        offset += len(tokenize(part))
-                        rebuilt.append(part)
-                sentence = "".join(rebuilt)
-            sentences.append(sentence)
-            doc_slots.append((sent_id, slots))
-
-        text = "\n".join(sentences)
-        pages.append(
-            {
-                "url": url,
-                "warc_ts": t0 + timedelta(minutes=doc_id),
-                "html": _make_html(sentences, doc_id).encode("utf-8"),
-                "text": text,
-                "lang": "ja",
-            }
-        )
-
-        # tids in document order (reference data_objects.py:272-277)
-        tid = 0
-        slot_tid: dict[int, str] = {}
-        for sent_id, slots in doc_slots:
-            for slot in sorted(slots, key=lambda s: s.begin):
-                tid += 1
-                slot_tid[id(slot)] = f"T{tid}"
-                gold_mentions.append(
-                    {
-                        "url": url,
-                        "sent_id": sent_id,
-                        "begin_tok": slot.begin,
-                        "end_tok": slot.end,
-                        "ner_tag": slot.tag,
-                        "mod_tag": slot.mod,
-                        "tid": f"T{tid}",
-                        "surface": slot.surface,
-                    }
-                )
-            for tail, head, rel in _sentence_relations(slots):
-                gold_relations.append(
-                    {
-                        "url": url,
-                        "arg1_tid": slot_tid[id(tail)],
-                        "arg2_tid": slot_tid[id(head)],
-                        "reltype": rel,
-                    }
-                )
-                gold_triples.append(
-                    {
-                        "url": url,
-                        "sent_id": sent_id,
-                        "subj_surface": tail.surface,
-                        "pred": rel,
-                        "obj_surface": head.surface,
-                    }
-                )
-
-    return pages, gold_mentions, gold_relations, gold_triples
+        for tail, head, rel in _sentence_relations(slots):
+            gold_relations.append(
+                {
+                    "url": url,
+                    "arg1_tid": slot_tid[id(tail)],
+                    "arg2_tid": slot_tid[id(head)],
+                    "reltype": rel,
+                }
+            )
+            gold_triples.append(
+                {
+                    "url": url,
+                    "sent_id": sent_id,
+                    "subj_surface": tail.surface,
+                    "pred": rel,
+                    "obj_surface": head.surface,
+                }
+            )
+    return page, gold_mentions, gold_relations, gold_triples
 
 
 # --- Spark loaders -----------------------------------------------------------
@@ -325,6 +338,28 @@ GOLD_TRIPLES_DDL = (
 def pages_df(spark, n_docs: int, seed: int = 42, skew: bool = False):
     pages, _, _, _ = gen_corpus(n_docs, seed, skew)
     return spark.createDataFrame(pages, schema=PAGES_DDL)
+
+
+def pages_df_distributed(
+    spark, n_docs: int, seed: int = 42, skew: bool = False, n_partitions: int | None = None
+):
+    """Distributed corpus synthesis: ``spark.range`` -> per-doc generation on
+    executors. Byte-identical to :func:`pages_df` (same per-doc RNG) with no
+    driver-side materialization — this is how the bench corpus scales."""
+    import pandas as pd
+
+    n_partitions = n_partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_doc(int(i), seed, skew)[0] for i in pdf["id"]]
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_docs, numPartitions=n_partitions)
+        .mapInPandas(gen, schema=PAGES_DDL)
+    )
 
 
 def gold_dfs(spark, n_docs: int, seed: int = 42, skew: bool = False):

@@ -95,19 +95,31 @@ def link_surfaces(
     surfaces: "DataFrame",
     concept_dict: "DataFrame",
     min_jaccard: float = 0.10,
+    fuzzy: str = "broadcast",
 ) -> "DataFrame":
     """(surface[, sem_type]) x dictionary -> (surface, concept_id, score, method).
 
     ``surfaces`` needs a ``surface`` column; if it also carries ``sem_type``,
     candidates are restricted to dictionary rows of the same semantic family —
     without this an anatomy mention like 肺 happily fuzzy-matches the disease
-    肺癌 (observed in verification). The dictionary is assumed broadcastable
-    (UMLS/MedDRA scale: ~10^6 rows — still broadcastable; if not, the same
-    plan works as a shuffle join).
+    肺癌 (observed in verification).
+
+    ``fuzzy`` picks the candidate-generation strategy for surfaces that miss
+    the exact join:
+
+    * ``"broadcast"`` (default): score every same-sem_type alias directly via
+      exact Jaccard on a broadcast of the dictionary — one stage, no banding.
+      Correct choice whenever the dictionary fits a broadcast (UMLS/MedDRA
+      ~10^6 aliases still does); the surfaces side is already deduped to the
+      vocabulary, so the cross product is |missed| x |aliases per sem_type|.
+    * ``"minhash"``: banded MinHash-LSH equi-join — the plan for dictionaries
+      too large to broadcast; candidates then verified with exact Jaccard.
     """
     typed = "sem_type" in surfaces.columns
     surf_cols = ["surface"] + (["sem_type"] if typed else [])
-    surf = surfaces.select(*surf_cols).distinct()
+    # vocabulary-sized and scanned by three branches (exact, anti-join, fuzzy)
+    # — persist so the upstream corpus-sized plan runs exactly once.
+    surf = surfaces.select(*surf_cols).distinct().persist()
     dic = concept_dict.select(
         "concept_id",
         normalize_col(F.col("alias")).alias("alias_norm"),
@@ -132,28 +144,47 @@ def link_surfaces(
         *([F.col("sem_type")] if typed else []),
     ).distinct()
     missed = surf.join(F.broadcast(dic_surfaces), surf_cols, "left_anti")
-    m_bands = _with_bands(_with_grams(missed, "surface"))
-    d_bands = _with_bands(
-        _with_grams(dic.withColumnRenamed("alias_norm", "alias"), "alias")
-    )
-    band_cond = (F.col("m.band.band_id") == F.col("d.band.band_id")) & (
-        F.col("m.band.band_key") == F.col("d.band.band_key")
-    )
-    if typed:
-        band_cond = band_cond & (F.col("m.sem_type") == F.col("d.sem_type"))
-    cand = (
-        m_bands.alias("m")
-        .join(F.broadcast(d_bands.alias("d")), band_cond)
-        .select(
-            F.col("m.surface").alias("surface"),
-            *([F.col("m.sem_type").alias("sem_type")] if typed else []),
-            F.col("m.grams").alias("s_grams"),
-            F.col("d.concept_id").alias("concept_id"),
-            F.col("d.alias").alias("alias"),
-            F.col("d.grams").alias("a_grams"),
+    d_grams = _with_grams(dic.withColumnRenamed("alias_norm", "alias"), "alias")
+    m_grams = _with_grams(missed, "surface")
+    if fuzzy == "broadcast":
+        cand_cond = F.lit(True)
+        if typed:
+            cand_cond = F.col("m.sem_type") == F.col("d.sem_type")
+        cand = (
+            m_grams.alias("m")
+            .join(F.broadcast(d_grams.alias("d")), cand_cond)
+            .select(
+                F.col("m.surface").alias("surface"),
+                *([F.col("m.sem_type").alias("sem_type")] if typed else []),
+                F.col("m.grams").alias("s_grams"),
+                F.col("d.concept_id").alias("concept_id"),
+                F.col("d.alias").alias("alias"),
+                F.col("d.grams").alias("a_grams"),
+            )
         )
-        .dropDuplicates(surf_cols + ["concept_id", "alias"])
-    )
+    elif fuzzy == "minhash":
+        m_bands = _with_bands(m_grams)
+        d_bands = _with_bands(d_grams)
+        band_cond = (F.col("m.band.band_id") == F.col("d.band.band_id")) & (
+            F.col("m.band.band_key") == F.col("d.band.band_key")
+        )
+        if typed:
+            band_cond = band_cond & (F.col("m.sem_type") == F.col("d.sem_type"))
+        cand = (
+            m_bands.alias("m")
+            .join(F.broadcast(d_bands.alias("d")), band_cond)
+            .select(
+                F.col("m.surface").alias("surface"),
+                *([F.col("m.sem_type").alias("sem_type")] if typed else []),
+                F.col("m.grams").alias("s_grams"),
+                F.col("d.concept_id").alias("concept_id"),
+                F.col("d.alias").alias("alias"),
+                F.col("d.grams").alias("a_grams"),
+            )
+            .dropDuplicates(surf_cols + ["concept_id", "alias"])
+        )
+    else:
+        raise ValueError(f"unknown fuzzy strategy: {fuzzy}")
     fuzzy = cand.withColumn(
         "score",
         F.size(F.array_intersect("s_grams", "a_grams"))

@@ -42,6 +42,35 @@ def mentions_from_annotations(annotations: "DataFrame") -> "DataFrame":
     return m.withColumn("tid", F.concat(F.lit("T"), F.row_number().over(w)))
 
 
+def mentions_from_flat(flat: "DataFrame") -> "DataFrame":
+    """Flat hot-path rows (kind='m') -> mentions table with document-order tid."""
+    m = flat.where(F.col("kind") == "m").select(
+        "url",
+        "sent_id",
+        F.col("begin").alias("begin_tok"),
+        F.col("end").alias("end_tok"),
+        F.col("tag").alias("ner_tag"),
+        F.col("mod").alias("mod_tag"),
+        "surface",
+    )
+    w = Window.partitionBy("url").orderBy("sent_id", "begin_tok")
+    return m.withColumn("tid", F.concat(F.lit("T"), F.row_number().over(w)))
+
+
+def triples_from_flat(flat: "DataFrame") -> "DataFrame":
+    """Flat hot-path rows (kind='t') -> triples table (mention-triplet shape)."""
+    return flat.where(F.col("kind") == "t").select(
+        "url",
+        "sent_id",
+        F.col("surface").alias("subj_surface"),
+        F.col("rel").alias("pred"),
+        F.col("obj_surface").alias("obj_surface"),
+        F.col("tag").alias("subj_tag"),
+        F.col("obj_tag").alias("obj_tag"),
+        F.col("mod").alias("subj_mod"),
+    )
+
+
 def triples_from_annotations(annotations: "DataFrame") -> "DataFrame":
     """Explode per-sentence triple arrays (mention-triplet semantics,
     reference data_objects.py:251-265)."""

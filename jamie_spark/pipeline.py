@@ -35,11 +35,38 @@ def run_kg(
     pages: "DataFrame",
     concept_dict: "DataFrame",
     lang: str = "ja",
+    checkpoint_dir: str | None = None,
 ) -> dict:
-    """Full knowledge-graph construction; returns all intermediate tables."""
+    """Full knowledge-graph construction; returns all intermediate tables.
+
+    Uses the flat Arrow-native hot path (infer.annotate_pages_flat): one
+    mapInArrow stage emitting primitive-typed mention/triple rows. The nested
+    annotations stage exists for parity outputs (CONLL/XML) and is not on
+    this path.
+
+    The inference stage feeds two downstream passes (surface discovery and
+    the canonical join). With ``checkpoint_dir`` set, the stage lands as a
+    parquet checkpoint and both passes read it back — the sandbox analog of
+    the per-stage Iceberg checkpoint (N6), and ~3x cheaper than Spark's
+    columnar in-memory cache for this row volume (measured: 17s write+reread
+    vs 54s persist at 9.4M rows). Without a dir it falls back to persist().
+    """
     from .concepts import TAG2NAME
 
-    ext = run_extraction(pages, lang=lang)
+    if checkpoint_dir is not None:
+        spark = pages.sparkSession
+        path = os.path.join(checkpoint_dir, "flat_annotations.parquet")
+        infer.annotate_pages_flat(pages, lang=lang).write.mode(
+            "overwrite"
+        ).parquet(path)
+        flat = spark.read.parquet(path)
+    else:
+        flat = infer.annotate_pages_flat(pages, lang=lang).persist()
+    ext = {
+        "annotations": flat,
+        "mentions": mentions_mod.mentions_from_flat(flat),
+        "triples": mentions_mod.triples_from_flat(flat),
+    }
     triples = ext["triples"]
     tag2sem = F.create_map(
         *[F.lit(x) for pair in TAG2NAME.items() for x in pair]
@@ -56,6 +83,10 @@ def run_kg(
             )
         )
         .distinct()
+        # vocabulary-sized from here on: truncate the corpus-sized lineage so
+        # the many small linking/rerank stages don't drag the full upstream
+        # plan through re-optimization (measured 2x link latency otherwise).
+        .localCheckpoint(eager=True)
     )
     links = link.link_surfaces(surfaces, concept_dict)
     concept_canon = canon.canonicalize_concepts(concept_dict)
@@ -96,6 +127,7 @@ def run_with_lineage(
             os.path.join(out_dir, "data", f"bucket={b}")
         )
         out.unpersist()
+        result["annotations"].unpersist()
         lineage.append_lineage_row(
             spark, out_dir, stage, b, stats["lo"], stats["hi"],
             MODEL_VERSION, stats["n"], n_triples,

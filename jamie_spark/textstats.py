@@ -1,0 +1,255 @@
+"""Training-data pipeline operators over a ``documents(doc_id, text, ...)`` table.
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard), text quality
+scoring, language-ID, token counting and winnowing fingerprints — the
+operations a 100 TB training-data pipeline runs in front of model training.
+
+Design rules:
+* everything is built from JVM-side built-ins (``split`` / ``transform`` /
+  ``sequence`` / ``md5`` / windows) — whole-stage codegen applies, no Python
+  in the hot path;
+* every operator has a DuckDB-expressible twin in ``__spark_entry__.oracle_sql``
+  (hence md5-based hashing here: md5 is bit-identical across engines, unlike
+  xxhash64; the production linking path in jamie_spark.link uses xxhash64
+  which is ~10x faster but engine-specific);
+* shuffles only where the semantics demand them (groupBy doc for signatures,
+  band self-join for candidates). The LSH band join is the scale path: it
+  replaces the O(n^2) all-pairs comparison with an equi-join on band keys.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# tiny per-language marker sets for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "de", "et"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr")  # deterministic tie-break order
+
+
+def _words(docs: "DataFrame") -> "DataFrame":
+    return docs.select("doc_id", F.split("text", " ").alias("ws"))
+
+
+def token_counts(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, n_tokens) — whitespace tokenization (T-count op)."""
+    return _words(docs).select(
+        "doc_id", F.size("ws").cast("long").alias("n_tokens")
+    )
+
+
+def quality_scores(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, n_tokens, n_chars, stop_ratio, avg_word_len) — quality scoring.
+
+    All ratios rounded to 4 decimals so cross-engine value hashes are stable.
+    """
+    w = _words(docs).withColumn("n_chars", F.length(F.concat_ws(" ", "ws")))
+    stop_arr = "array(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    return w.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.expr(f"size(filter(ws, x -> array_contains({stop_arr}, x)))")
+            / F.size("ws"),
+            4,
+        ).alias("stop_ratio"),
+        F.round(
+            F.expr("aggregate(ws, 0L, (acc, x) -> acc + length(x))")
+            / F.size("ws"),
+            4,
+        ).alias("avg_word_len"),
+    )
+
+
+def lang_id(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, pred_lang) — marker-stopword language ID, deterministic
+    tie-break by LANG_PRIORITY then 'und' when all scores are zero."""
+    w = _words(docs)
+    scores = [
+        F.expr(
+            "size(filter(ws, x -> array_contains(array("
+            + ",".join(f"'{m}'" for m in LANG_MARKERS[lang])
+            + "), x)))"
+        ).alias(f"s_{lang}")
+        for lang in LANG_PRIORITY
+    ]
+    scored = w.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"s_{lang}") == best, F.lit(lang))
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+def dedup_exact(docs: "DataFrame") -> "DataFrame":
+    """(text_hash, dup_count, keeper_doc_id) — exact dedup groups by md5."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, pos, shingle) — word n-gram shingles, 1-based pos.
+
+    Formula mirrors the DuckDB oracle exactly: docs with < n words produce
+    no shingles.
+    """
+    parts = ", ".join(f"ws[i - 1 + {j}]" for j in range(n))
+    return (
+        _words(docs)
+        .where(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(ws) - {n - 1}),"
+                    f" i -> concat_ws(' ', {parts}))"
+                )
+            ).alias("pos0", "shingle"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5
+) -> "DataFrame":
+    """(doc_a, doc_b, jaccard) — near-dup pairs by word n-gram Jaccard.
+
+    Self-join on shingle values (inverted-index style) — at scale this is the
+    shuffle-heavy exact path; use :func:`minhash_pairs` first to shortlist.
+    """
+    sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+N_MINHASHES = 8
+N_MINHASH_BANDS = 4  # 2 rows per band
+
+
+def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, band_id, band_key) — md5-MinHash banded signatures."""
+    sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
+        for k in range(N_MINHASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    rows_per_band = N_MINHASHES // N_MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("band_key"),
+            )
+            for b in range(N_MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def minhash_pairs(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_a, doc_b) — candidate near-dup pairs sharing >= 1 MinHash band.
+
+    The scale path for dedup at 10^12 docs: equi-join on (band_id, band_key)
+    instead of all-pairs; AQE handles band-key skew.
+    """
+    sig = minhash_signatures(docs, n)
+    return (
+        sig.alias("a")
+        .join(sig.alias("b"), ["band_id", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, simhash) — 16-bit SimHash over word md5s (majority per bit).
+
+    Bit b comes from hex digit b//4 (MSB-first) of md5(word)[:4]; the document
+    bit is 1 when strictly more than half the words set it.
+    """
+    w = _words(docs).select("doc_id", F.explode("ws").alias("word"))
+    w = w.withColumn("hx", F.substring(F.md5("word"), 1, 4))
+    nibs = [
+        (F.instr(F.lit("0123456789abcdef"), F.substring("hx", p + 1, 1)) - 1)
+        for p in range(4)
+    ]
+    bit_cols = []
+    for b in range(16):
+        nib = nibs[b // 4]
+        shift = 3 - (b % 4)
+        bit_cols.append(
+            (F.floor(nib / F.lit(2**shift)) % 2).alias(f"bit{b}")
+        )
+    per_word = w.select("doc_id", *bit_cols)
+    agg = per_word.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.sum(f"bit{b}").alias(f"s{b}") for b in range(16)],
+    )
+    sim = None
+    for b in range(16):
+        term = F.when(2 * F.col(f"s{b}") > F.col("cnt"), F.lit(2**b)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def fingerprints(docs: "DataFrame", n: int = 3, window: int = 4) -> "DataFrame":
+    """(doc_id, fp) — winnowing document fingerprints: distinct minima of
+    md5(shingle) over each sliding window of ``window`` consecutive shingles."""
+    sh = shingles(docs, n).withColumn("h", F.md5("shingle"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return sh.select("doc_id", F.min("h").over(win).alias("fp")).distinct()

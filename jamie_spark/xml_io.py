@@ -1,0 +1,205 @@
+"""Annotated-XML emit + parse (S2/S9 in SURVEY.md §2.1) — the
+reference-parity output format for triple comparison.
+
+Writer semantics re-expressed from ``MultiheadConll.doc_to_xml``
+(reference ``data_objects.py:267-310``):
+
+* tids assigned in document order over mod-entities (``:272-277``);
+* inline tags inserted in REVERSED span order so earlier insertions don't
+  shift later offsets (``:288-300``);
+* modality becomes the family attribute via MOD_DICT
+  (``certainty=\"positive\"`` etc.), ``'_'`` omitted (``:297``);
+* a self-loop relation becomes the ``DCT-Rel`` attribute (``:298``);
+* standoff relation rows appended at the end: ``<brel rid arg1 arg2
+  reltype/>``; ``trel`` when either endpoint is a TIMEX3 (``:307`` — the
+  reference literally compares against ``\"Timex3\"`` which its lowercase
+  tags never equal, so its runtime output is always ``brel``; we implement
+  the documented intent and note the quirk here);
+* self-loop (DCT) rows are not emitted as standoff rows (``:308``).
+
+The parser inverts the writer (used for round-trip parity tests; the
+reference parses with ElementTree at ``utils.py:683-697`` — we parse our own
+grammar with a regex scanner, no XML library needed for this fixed subset).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from .concepts import MOD_DICT
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+
+def doc_to_xml(sentences: list[dict]) -> str:
+    """Per-document annotations -> annotated XML string.
+
+    ``sentences``: dicts with tokens, entities (tag, begin, end, mod),
+    triples as (tail_begin, tail_end, head_begin, head_end, rel) token spans
+    per sentence (detailed-triplet shape, reference data_objects.py:240-249).
+    """
+    tid = 0
+    span2tid: dict[tuple[int, int, int], tuple[str, str]] = {}
+    rels: dict[tuple, str] = {}
+    for s in sentences:
+        sid = s["sent_id"]
+        for e in s["entities"]:
+            tid += 1
+            span2tid[(sid, e["begin"], e["end"])] = (f"T{tid}", e["tag"])
+        for t in s.get("detailed_triples", []):
+            rels[
+                (sid, t["tail_begin"], t["tail_end"], t["head_begin"], t["head_end"])
+            ] = t["rel"]
+
+    lines = []
+    for s in sentences:
+        sid = s["sent_id"]
+        toks = list(s["tokens"])
+        for e in sorted(s["entities"], key=lambda e: e["begin"], reverse=True):
+            span = (sid, e["begin"], e["end"])
+            t, tag = span2tid[span]
+            attrs = f' tid="{t}"'
+            if e["mod"] != "_":
+                attrs += f' {MOD_DICT[e["mod"]]}="{e["mod"]}"'
+            self_key = (sid, e["begin"], e["end"], e["begin"], e["end"])
+            if self_key in rels:
+                attrs += f' DCT-Rel="{rels[self_key]}"'
+            toks.insert(e["end"], f"</{tag}>")
+            toks.insert(e["begin"], f"<{tag}{attrs}>")
+        lines.append("".join(toks))
+
+    rid = 0
+    for (sid, tb, te, hb, he), rel in rels.items():
+        if (tb, te) == (hb, he):
+            continue  # DCT self-loops live in the attribute, not standoff
+        tail_tid, tail_tag = span2tid[(sid, tb, te)]
+        head_tid, head_tag = span2tid[(sid, hb, he)]
+        rel_tag = "trel" if "TIMEX3" in (tail_tag, head_tag) else "brel"
+        rid += 1
+        lines.append(
+            f'<{rel_tag} rid="R{rid}" arg1="{tail_tid}" arg2="{head_tid}"'
+            f' reltype="{rel}" />'
+        )
+    return "\n".join(lines) + "\n"
+
+
+def annotations_to_xml(annotations: "DataFrame") -> "DataFrame":
+    """annotations -> (url, xml) via one grouped Arrow stage."""
+    from .bio import detailed_triplets
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sent_id")
+        url = pdf["url"].iloc[0]
+        sentences = []
+        for _, row in pdf.iterrows():
+            # decode in-band tokens for text emit (reference data_objects.py:210)
+            toks = [
+                t.replace("[JASP]", "　").replace("[SEP]", "\n")
+                for t in row["tokens"]
+            ]
+            det = detailed_triplets(
+                list(row["ner"]),
+                [list(x) for x in row["rels"]],
+                [[int(i) for i in x] for x in row["heads"]],
+            )
+            sentences.append(
+                {
+                    "sent_id": int(row["sent_id"]),
+                    "tokens": toks,
+                    "entities": [
+                        {
+                            "tag": e["tag"],
+                            "begin": int(e["begin"]),
+                            "end": int(e["end"]),
+                            "mod": e["mod"],
+                        }
+                        for e in row["entities"]
+                    ],
+                    "detailed_triples": [
+                        {
+                            "tail_begin": tb,
+                            "tail_end": te,
+                            "head_begin": hb,
+                            "head_end": he,
+                            "rel": rel,
+                        }
+                        for tb, te, hb, he, rel in det
+                    ],
+                }
+            )
+        return pd.DataFrame({"url": [url], "xml": [doc_to_xml(sentences)]})
+
+    return (
+        annotations.select(
+            "url", "sent_id", "tokens", "ner", "mod", "rels", "heads", "entities"
+        )
+        .groupBy("url")
+        .applyInPandas(build, schema="url string, xml string")
+    )
+
+
+# --- parser (round-trip tests) ----------------------------------------------
+
+_TAG_RE = re.compile(r"<(/?)([\w-]+)((?:\s+[\w-]+=\"[^\"]*\")*)\s*/?>")
+_ATTR_RE = re.compile(r"([\w-]+)=\"([^\"]*)\"")
+
+
+def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
+    """Annotated XML -> (mentions, relations) standoff rows.
+
+    mentions: (sent_id, tid, tag, surface, mod); relations: (arg1_tid,
+    arg2_tid, reltype) with DCT self-loops restored as arg1 == arg2
+    (reference utils.py:686-697 builds the same rel_dic).
+    """
+    mentions: list[dict] = []
+    relations: list[dict] = []
+    for sent_id, line in enumerate(xml.strip().split("\n")):
+        if line.startswith(("<brel", "<trel")):
+            attrs = dict(_ATTR_RE.findall(line))
+            relations.append(
+                {
+                    "arg1_tid": attrs["arg1"],
+                    "arg2_tid": attrs["arg2"],
+                    "reltype": attrs["reltype"],
+                }
+            )
+            continue
+        pos = 0
+        stack: list[tuple[str, dict, int]] = []
+        plain: list[str] = []
+        for m in _TAG_RE.finditer(line):
+            plain.append(line[pos : m.start()])
+            pos = m.end()
+            if m.group(1):  # closing
+                tag, attrs, start_len = stack.pop()
+                surface = "".join(plain)[start_len:]
+                mod = "_"
+                for fam in ("certainty", "state", "type"):
+                    if fam in attrs:
+                        mod = attrs[fam]
+                mentions.append(
+                    {
+                        "sent_id": sent_id,
+                        "tid": attrs["tid"],
+                        "tag": tag,
+                        "surface": surface,
+                        "mod": mod,
+                    }
+                )
+                if "DCT-Rel" in attrs:
+                    relations.append(
+                        {
+                            "arg1_tid": attrs["tid"],
+                            "arg2_tid": attrs["tid"],
+                            "reltype": attrs["DCT-Rel"],
+                        }
+                    )
+            else:
+                attrs = dict(_ATTR_RE.findall(m.group(3)))
+                stack.append((m.group(2), attrs, len("".join(plain))))
+        plain.append(line[pos:])
+    return mentions, relations

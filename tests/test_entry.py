@@ -1,0 +1,90 @@
+"""Local replica of the driver's correctness gate: every ``queries()`` entry
+runs on Spark at sf0.01 and is compared against its ``oracle_sql()`` twin in
+DuckDB — row count, column names, and order-insensitive values."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    return v
+
+
+def _rows_to_sorted(rows):
+    return sorted(tuple(_normalize(v) for v in r) for r in rows)
+
+
+ORACLED = sorted(set(entry_mod.oracle_sql()) & set(entry_mod.queries()))
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = _rows_to_sorted([tuple(r) for r in sdf.collect()])
+
+    res = duck.sql(entry_mod.oracle_sql()[name])
+    duck_cols = [c.lower() for c in res.columns]
+    duck_rows = _rows_to_sorted(res.fetchall())
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(spark_rows, duck_rows) if a != b
+    ][:5]
+    assert not mismatches, f"{name}: value mismatch {mismatches}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    assert sdf.count() > 0, f"{name}: returned no rows"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "subj_id" in df.columns
+
+
+def test_lsh_recall_floor(spark):
+    """LSH-ANN must recover a reasonable share of the exact top-5 sets."""
+    exact = entry_mod.queries()["sim_cosine_topk"](spark, SF_DIR)
+    approx = entry_mod.queries()["sim_lsh_topk"](spark, SF_DIR)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} below floor"

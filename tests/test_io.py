@@ -1,0 +1,108 @@
+"""Reference-parity I/O format tests: CONLL (S4/S8) and annotated XML (S9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jamie_spark import conll, fixtures, pipeline, xml_io
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pages = fixtures.pages_df(spark, 40, seed=5)
+    out = pipeline.run_extraction(pages)
+    out["annotations"] = out["annotations"].cache()
+    return out
+
+
+def test_conll_roundtrip(spark, extracted):
+    """annotations -> CONLL text -> parse == original columns."""
+    docs = conll.annotations_to_conll(extracted["annotations"]).collect()
+    assert len(docs) > 0
+    orig = {
+        (r["url"], r["sent_id"]): r
+        for r in extracted["annotations"].collect()
+    }
+    n_sents = 0
+    for doc in docs:
+        for row in conll.parse_conll(doc["conll"]):
+            key = (row["url"], row["sent_id"])
+            o = orig[key]
+            assert row["tokens"] == list(o["tokens"])
+            assert row["ner"] == list(o["ner"])
+            assert row["mod"] == list(o["mod"])
+            # writer pads empty cells with the reference defaults ['N']/[self]
+            for i, (rl, hl) in enumerate(zip(o["rels"], o["heads"])):
+                exp_r = list(rl) if list(rl) else ["N"]
+                exp_h = [int(x) for x in hl] if list(hl) else [i]
+                assert row["rels"][i] == exp_r
+                assert row["heads"][i] == exp_h
+            n_sents += 1
+    assert n_sents == len(orig)
+
+
+def test_conll_jasp_sep_roundtrip():
+    """A raw U+3000 token is written in-band and read back verbatim as [JASP]
+    (the engine's internal representation; XML emit decodes it)."""
+    lines = conll.sentence_to_conll_lines(
+        ["肺", "　", "癌"], ["B-a", "O", "B-d"], ["_", "_", "positive"],
+        [[], [], []], [[], [], []],
+    )
+    assert "[JASP]" in lines[1]
+    parsed = conll.parse_conll("#doc u\n## line 0\n" + "\n".join(lines))
+    assert parsed[0]["tokens"] == ["肺", "[JASP]", "癌"]
+
+
+def test_xml_writer_semantics(spark, extracted):
+    """XML output: inline tags, modality family attributes, DCT-Rel
+    attributes, standoff brel/trel rows with correct tid wiring."""
+    xml_df = xml_io.annotations_to_xml(extracted["annotations"])
+    rows = {r["url"]: r["xml"] for r in xml_df.collect()}
+    assert rows
+    joined = "\n".join(rows.values())
+    assert "certainty=\"" in joined
+    assert "<brel " in joined or "<trel " in joined
+    # DCT self-loops appear as attributes, not standoff rows
+    for xml in rows.values():
+        for line in xml.splitlines():
+            if line.startswith(("<brel", "<trel")):
+                attrs = dict(xml_io._ATTR_RE.findall(line))
+                assert attrs["arg1"] != attrs["arg2"]
+
+
+def test_xml_roundtrip_triples(spark, extracted):
+    """XML -> parse -> relation triples == pipeline mention triples."""
+    from jamie_spark import mentions as mm
+
+    xml_df = xml_io.annotations_to_xml(extracted["annotations"])
+    got = []
+    for r in xml_df.collect():
+        mentions, relations = xml_io.parse_xml_doc(r["xml"])
+        by_tid = {m["tid"]: m for m in mentions}
+        for rel in relations:
+            got.append(
+                (
+                    r["url"],
+                    by_tid[rel["arg1_tid"]]["surface"],
+                    rel["reltype"],
+                    by_tid[rel["arg2_tid"]]["surface"],
+                )
+            )
+    expected = [
+        (t["url"], t["subj_surface"], t["pred"], t["obj_surface"])
+        for t in mm.triples_from_annotations(extracted["annotations"]).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+def test_xml_mod_attributes_roundtrip(spark, extracted):
+    xml_df = xml_io.annotations_to_xml(extracted["annotations"])
+    n_mod = 0
+    for r in xml_df.collect():
+        mentions, _ = xml_io.parse_xml_doc(r["xml"])
+        for m in mentions:
+            if m["mod"] != "_":
+                n_mod += 1
+    gold_mod = (
+        extracted["mentions"].where(F.col("mod_tag") != "_").count()
+    )
+    assert n_mod == gold_mod

@@ -48,6 +48,23 @@ def test_lang_filter_pushdown(corpus):
     assert "lang" in plan
 
 
+def test_flat_path_equals_nested_path(spark, corpus, extracted):
+    """The Arrow-native hot path must emit exactly the nested path's
+    mentions and triples (same decode semantics, different physical plan)."""
+    from jamie_spark import mentions as mm
+
+    flat = infer.annotate_pages_flat(corpus["pages"])
+    key_m = ["url", "sent_id", "begin_tok", "end_tok", "ner_tag", "mod_tag", "surface"]
+    nm = mm.mentions_from_annotations(extracted["annotations"]).select(*key_m)
+    fm = mm.mentions_from_flat(flat).select(*key_m)
+    assert nm.exceptAll(fm).count() == 0 and fm.exceptAll(nm).count() == 0
+    key_t = ["url", "sent_id", "subj_surface", "pred", "obj_surface",
+             "subj_tag", "obj_tag", "subj_mod"]
+    nt = extracted["triples"].select(*key_t)
+    ft = mm.triples_from_flat(flat).select(*key_t)
+    assert nt.exceptAll(ft).count() == 0 and ft.exceptAll(nt).count() == 0
+
+
 def test_mentions_match_gold(spark, corpus, extracted):
     """NER + modality P/R == 1.0 on the fixture corpus (E2/E3 gate)."""
     scores = ev.eval_mentions(corpus["gold_mentions"], extracted["mentions"])

@@ -1,0 +1,75 @@
+"""Physical-plan quality gates: the optimizations we designed for must
+actually appear in the executed plans (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jamie_spark import fixtures, infer, link, textstats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_lang_filter_pushed_to_parquet_scan(spark, tmp_path):
+    """The lang filter must reach the parquet source as a PushedFilter, not
+    hide behind the python stage."""
+    path = str(tmp_path / "pages")
+    fixtures.pages_df(spark, 50, seed=3).write.parquet(path)
+    pages = spark.read.parquet(path)
+    flat = infer.annotate_pages_flat(pages)
+    plan = _plan(flat)
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,ja)" in plan.replace(" ", "").replace("'", "") or (
+        "lang" in plan.split("PushedFilters")[1][:200]
+    )
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """The flat stage selects url/html/text — warc_ts must be pruned from
+    the scan ReadSchema."""
+    path = str(tmp_path / "pages2")
+    fixtures.pages_df(spark, 50, seed=3).write.parquet(path)
+    pages = spark.read.parquet(path)
+    flat = infer.annotate_pages_flat(pages)
+    plan = _plan(flat)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "warc_ts" not in read_schema
+    assert "url" in read_schema
+
+
+def test_dictionary_join_is_broadcast(spark):
+    """Entity linking must broadcast the dictionary, never shuffle the
+    mention side."""
+    surfaces = spark.createDataFrame([("肺癌",)], "surface string")
+    links = link.link_surfaces(surfaces, fixtures.concept_df(spark))
+    plan = _plan(links)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the big-side of the exact join must NOT be exchanged for the join
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_minhash_band_join_no_python(spark):
+    """Dedup LSH must be pure JVM — no python/pandas stages in the plan."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(textstats.minhash_pairs(docs))
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_whole_stage_codegen_in_quality_scores(spark):
+    """The quality-score plan stays JVM-side with codegen spans (the `*(n)`
+    markers); higher-order lambda expressions run interpreted but still in
+    the JVM — no python stage anywhere."""
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(textstats.quality_scores(docs))
+    assert "*(1)" in plan
+    assert "Python" not in plan
