@@ -34,13 +34,53 @@ def _graphframes_available(spark) -> bool:
         return False
 
 
-def connected_components(edges: "DataFrame", max_iter: int = 25) -> "DataFrame":
+#: below this edge count the graph is collected and solved with union-find on
+#: the driver — one job instead of O(diameter) iterations. Same adaptive idea
+#: as Spark's broadcast-join threshold: tiny graphs don't deserve shuffles.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _union_find(edge_rows: list) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def connected_components(
+    edges: "DataFrame",
+    max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> "DataFrame":
     """edges(src string, dst string) -> (vertex string, component string).
 
     ``component`` is the lexicographic minimum vertex id in the component
-    (deterministic canonical representative).
+    (deterministic canonical representative). Physical strategy is adaptive:
+    driver-side union-find below ``small_graph_edges`` (the alias dictionary
+    case), GraphFrames when its jar is present, else the distributed
+    min-label propagation loop (forced in tests via ``small_graph_edges=0``).
     """
     spark = edges.sparkSession
+    if small_graph_edges > 0:
+        sample = edges.limit(small_graph_edges + 1).collect()
+        if len(sample) <= small_graph_edges:
+            comp = _union_find(sample)
+            return spark.createDataFrame(
+                [(v, c) for v, c in sorted(comp.items())],
+                "vertex string, component string",
+            )
     if _graphframes_available(spark):  # pragma: no cover - not in sandbox
         from graphframes import GraphFrame
 
@@ -92,7 +132,9 @@ def connected_components(edges: "DataFrame", max_iter: int = 25) -> "DataFrame":
     return labels
 
 
-def canonicalize_concepts(concept_dict: "DataFrame") -> "DataFrame":
+def canonicalize_concepts(
+    concept_dict: "DataFrame", small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> "DataFrame":
     """Alias table -> (concept_id, component) canonical mapping.
 
     Edges: every alias row links alias<->concept_id, so aliases sharing a
@@ -104,7 +146,7 @@ def canonicalize_concepts(concept_dict: "DataFrame") -> "DataFrame":
     edges = concept_dict.select(
         F.col("alias").alias("src"), F.col("concept_id").alias("dst")
     ).distinct()
-    cc = connected_components(edges)
+    cc = connected_components(edges, small_graph_edges=small_graph_edges)
     concept_comp = (
         concept_dict.select("concept_id")
         .distinct()

@@ -106,6 +106,43 @@ def eval_mentions(gold_mentions: "DataFrame", pred_mentions: "DataFrame") -> dic
     return {"ner": ner, "mod": mod}
 
 
+def modality_family_scores(
+    gold_mentions: "DataFrame", pred_mentions: "DataFrame"
+) -> dict:
+    """E4: modality P/R/F1 rolled up per attribute family
+    (certainty / state / type — reference ``measure_modality_fscore``
+    utils.py:1522-1545 via MOD_DICT data_objects.py:6-10)."""
+    from .concepts import MOD_DICT
+
+    rows = per_label_counts(
+        gold_mentions, pred_mentions,
+        ["url", "sent_id", "begin_tok", "end_tok", "mod_tag"], "mod_tag",
+    ).collect()
+    fam_counts: dict[str, list[float]] = {}
+    for r in rows:
+        fam = MOD_DICT.get(r["label"], "other")
+        acc = fam_counts.setdefault(fam, [0.0, 0.0, 0.0])
+        acc[0] += r["tps"]
+        acc[1] += r["fps"]
+        acc[2] += r["fns"]
+    return {
+        fam: dict(zip(("precision", "recall", "f1"), _f1(*acc)))
+        for fam, acc in fam_counts.items()
+    }
+
+
+def downsample_negatives(
+    pairs: "DataFrame", rel_col: str = "rel", keep_prob: float = 0.1,
+    seed: int = 42,
+) -> "DataFrame":
+    """R3: keep all positive pairs, a seeded ``keep_prob`` fraction of 'N'
+    pairs (reference utils.py:1655-1658, clinical_pipeline_rel.py:63-73).
+    Training-prep only — never on the inference path."""
+    return pairs.where(
+        (F.col(rel_col) != "N") | (F.rand(seed) < F.lit(keep_prob))
+    )
+
+
 def eval_triples(gold_triples: "DataFrame", pred_triples: "DataFrame") -> dict:
     """Mention-string relation eval (MhsEvaluator.eval_mention_rel,
     reference clinical_eval.py:145-149)."""

@@ -83,11 +83,13 @@ def run_kg(
             )
         )
         .distinct()
+    )
+    if checkpoint_dir is None:
         # vocabulary-sized from here on: truncate the corpus-sized lineage so
         # the many small linking/rerank stages don't drag the full upstream
         # plan through re-optimization (measured 2x link latency otherwise).
-        .localCheckpoint(eager=True)
-    )
+        # With a parquet checkpoint the lineage is already short.
+        surfaces = surfaces.localCheckpoint(eager=True)
     links = link.link_surfaces(surfaces, concept_dict)
     concept_canon = canon.canonicalize_concepts(concept_dict)
     canonical = graph.canonical_triples(triples, links, concept_canon)

@@ -106,6 +106,23 @@ def test_evaluator_detects_errors(spark, corpus, extracted):
     assert region["recall"] == 0.0
 
 
+def test_modality_family_scores_and_downsampling(spark, corpus, extracted):
+    """E4 family roll-up is perfect on the fixture corpus; R3 keeps all
+    positives and a seeded fraction of negatives."""
+    fams = ev.modality_family_scores(corpus["gold_mentions"], extracted["mentions"])
+    assert set(fams) <= {"certainty", "state", "type"}
+    assert all(v["f1"] == pytest.approx(1.0) for v in fams.values())
+
+    pairs = spark.createDataFrame(
+        [(i, "N" if i % 2 else "region") for i in range(1000)],
+        "pair_id long, rel string",
+    )
+    kept = ev.downsample_negatives(pairs, "rel", keep_prob=0.1, seed=1)
+    assert kept.where("rel != 'N'").count() == 500  # all positives kept
+    n_neg = kept.where("rel = 'N'").count()
+    assert 10 <= n_neg <= 120  # ~10% of 500 negatives
+
+
 def test_linking_exact_and_fuzzy(spark, corpus):
     surfaces = spark.createDataFrame(
         [("肺癌",), ("アスピリン",), ("肺がん",), ("はいえん",), ("ワーファリン",)],
@@ -131,6 +148,15 @@ def test_linking_fuzzy_minhash(spark, corpus):
         corpus["concepts"].where(F.col("canonical") == "アスピリン").first()["concept_id"]
     )
     assert links[0]["concept_id"] == aspirin
+
+
+def test_canonicalization_distributed_equals_unionfind(spark, corpus):
+    """Both physical strategies (driver union-find / distributed min-label
+    propagation loop) produce identical components."""
+    fast = canon.canonicalize_concepts(corpus["concepts"]).collect()
+    dist = canon.canonicalize_concepts(corpus["concepts"], small_graph_edges=0).collect()
+    key = lambda r: (r["concept_id"], r["canonical_id"])  # noqa: E731
+    assert sorted(map(key, fast)) == sorted(map(key, dist))
 
 
 def test_canonicalization_components(spark, corpus):
