@@ -13,10 +13,12 @@ Env knobs:
     SPARK_GRAFT_KG_DOCS  synthetic KG corpus size (default 40000)
 
 Scaling mode (north_rule: throughput efficiency >= 0.8 from N to 4N
-executors, sandboxed as local[8] vs local[32]):
-    python bench.py --scaling
-runs the KG pipeline at both parallelism levels in fresh JVMs and writes
-BENCH/BASELINE.md.
+executors; sandboxed as local[4] vs local[16] — see SCALING_PAIR for why):
+    python bench.py --scaling [n_docs]
+materializes one parquet corpus, runs the KG pipeline at both parallelism
+levels in fresh warmed JVMs (sequentially, nothing else running) and writes
+BENCH/BASELINE.md. Timings are wall-clock sensitive: do not run other load
+concurrently.
 """
 
 from __future__ import annotations
@@ -65,7 +67,7 @@ def run_kg_bench(spark, n_docs: int, warmup: bool = True) -> tuple[float, int]:
     pages = fixtures.pages_df_distributed(spark, n_docs, seed=42).cache()
     pages.count()
     t0 = time.perf_counter()
-    result = pipeline.run_kg(pages, concepts)
+    result = pipeline.run_kg(pages, concepts, checkpoint_dir="/tmp/jamie_bench_ckpt_main")
     n = result["canonical_triples"].count()
     dt = time.perf_counter() - t0
     result["annotations"].unpersist()

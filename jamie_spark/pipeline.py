@@ -90,7 +90,10 @@ def run_kg(
         # plan through re-optimization (measured 2x link latency otherwise).
         # With a parquet checkpoint the lineage is already short.
         surfaces = surfaces.localCheckpoint(eager=True)
-    links = link.link_surfaces(surfaces, concept_dict)
+    # links are consumed twice (subj + obj resolution) as broadcast sides;
+    # materialize once (vocabulary-sized) so the whole linking subtree isn't
+    # inlined into both broadcast builds.
+    links = link.link_surfaces(surfaces, concept_dict).localCheckpoint(eager=True)
     concept_canon = canon.canonicalize_concepts(concept_dict)
     canonical = graph.canonical_triples(triples, links, concept_canon)
     return {**ext, "links": links, "concept_canon": concept_canon,
