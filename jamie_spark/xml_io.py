@@ -142,6 +142,121 @@ def annotations_to_xml(annotations: "DataFrame") -> "DataFrame":
     )
 
 
+# --- brat writer (S10, reference data_objects.py:312-361) --------------------
+
+def doc_to_brat(sentences: list[dict]) -> tuple[str, str]:
+    """Per-document annotations -> (text, ann) brat standoff pair.
+
+    Semantics re-expressed from ``MultiheadConll.doc_to_brat``:
+
+    * ``.txt`` = sentences joined by newline (in-band tokens decoded);
+    * entity rows ``T{n}\\t{Tag} {begin_char} {end_char}\\t{surface}`` with
+      char offsets into the .txt (``:332-334``), tag mapped through the
+      human-readable name table (``NER_DICT`` / tag2name — we use TAG2NAME);
+    * modality rows ``A{n}\\t{family} T{e} {label}`` (``:343-345``);
+    * relation rows ``R{n}\\t{rel} Arg1:T Arg2:T`` anchored by span-final
+      char position (``:349-354``); DCT self-loops become
+      ``A{n}\\tDCT-Rel T{e} {rel}`` (``:356-357``).
+    """
+    from .concepts import TAG2NAME
+
+    txt_lines: list[str] = []
+    ann_lines: list[str] = []
+    line_start = 0
+    eid = mid = rid = 1
+    lastchar2eid: dict[int, str] = {}
+    # first pass: text + entities (+ modality)
+    spans_by_sent: dict[int, dict[tuple[int, int], str]] = {}
+    for s in sentences:
+        toks = s["tokens"]
+        sent_str = "".join(toks)
+        entity_rows = sorted(s["entities"], key=lambda e: e["begin"])
+        spans_by_sent[s["sent_id"]] = {}
+        for e in entity_rows:
+            b_char = line_start + len("".join(toks[: e["begin"]]))
+            e_char = line_start + len("".join(toks[: e["end"]]))
+            surface = "".join(toks[e["begin"] : e["end"]])
+            tid = f"T{eid}"
+            ann_lines.append(
+                f"{tid}\t{TAG2NAME.get(e['tag'], e['tag'])} {b_char} {e_char}\t{surface}"
+            )
+            lastchar2eid[e_char - 1] = tid
+            spans_by_sent[s["sent_id"]][(e["begin"], e["end"])] = tid
+            if e["mod"] != "_":
+                ann_lines.append(f"A{mid}\t{MOD_DICT[e['mod']]} {tid} {e['mod']}")
+                mid += 1
+            eid += 1
+        txt_lines.append(sent_str)
+        line_start += len(sent_str) + 1  # newline
+    # second pass: relations by span-final char anchor
+    line_start = 0
+    for s in sentences:
+        toks = s["tokens"]
+        for t in s.get("detailed_triples", []):
+            tail_char = line_start + len("".join(toks[: t["tail_end"]])) - 1
+            head_char = line_start + len("".join(toks[: t["head_end"]])) - 1
+            if tail_char in lastchar2eid and head_char in lastchar2eid:
+                if tail_char != head_char:
+                    ann_lines.append(
+                        f"R{rid}\t{t['rel']} Arg1:{lastchar2eid[tail_char]}"
+                        f" Arg2:{lastchar2eid[head_char]}"
+                    )
+                    rid += 1
+                else:
+                    ann_lines.append(
+                        f"A{mid}\tDCT-Rel {lastchar2eid[tail_char]} {t['rel']}"
+                    )
+                    mid += 1
+        line_start += len("".join(toks)) + 1
+    return "\n".join(txt_lines) + "\n", "\n".join(ann_lines) + "\n"
+
+
+def annotations_to_brat(annotations: "DataFrame") -> "DataFrame":
+    """annotations -> (url, txt, ann) via one grouped Arrow stage."""
+    from .bio import detailed_triplets
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sent_id")
+        url = pdf["url"].iloc[0]
+        sentences = []
+        for _, row in pdf.iterrows():
+            toks = [
+                t.replace("[JASP]", "　").replace("[SEP]", "\n")
+                for t in row["tokens"]
+            ]
+            det = detailed_triplets(
+                list(row["ner"]),
+                [list(x) for x in row["rels"]],
+                [[int(i) for i in x] for x in row["heads"]],
+            )
+            sentences.append(
+                {
+                    "sent_id": int(row["sent_id"]),
+                    "tokens": toks,
+                    "entities": [
+                        {"tag": e["tag"], "begin": int(e["begin"]),
+                         "end": int(e["end"]), "mod": e["mod"]}
+                        for e in row["entities"]
+                    ],
+                    "detailed_triples": [
+                        {"tail_begin": tb, "tail_end": te, "head_begin": hb,
+                         "head_end": he, "rel": rel}
+                        for tb, te, hb, he, rel in det
+                    ],
+                }
+            )
+        txt, ann = doc_to_brat(sentences)
+        return pd.DataFrame({"url": [url], "txt": [txt], "ann": [ann]})
+
+    return (
+        annotations.select(
+            "url", "sent_id", "tokens", "ner", "mod", "rels", "heads", "entities"
+        )
+        .groupBy("url")
+        .applyInPandas(build, schema="url string, txt string, ann string")
+    )
+
+
 # --- parser (round-trip tests) ----------------------------------------------
 
 _TAG_RE = re.compile(r"<(/?)([\w-]+)((?:\s+[\w-]+=\"[^\"]*\")*)\s*/?>")

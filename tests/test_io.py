@@ -94,6 +94,33 @@ def test_xml_roundtrip_triples(spark, extracted):
     assert sorted(got) == sorted(expected)
 
 
+def test_brat_offsets_and_relations(spark, extracted):
+    """Brat standoff: char offsets index the .txt exactly; relation rows wire
+    span-final anchors; DCT self-loops become A rows (data_objects.py:312-361
+    semantics)."""
+    brat = xml_io.annotations_to_brat(extracted["annotations"])
+    n_rel_rows = 0
+    for r in brat.collect():
+        txt, ann = r["txt"], r["ann"]
+        tid_surface = {}
+        for line in ann.strip().split("\n"):
+            if line.startswith("T"):
+                tid, mid_part, surface = line.split("\t")
+                _, b, e = mid_part.rsplit(" ", 2)
+                assert txt[int(b):int(e)] == surface, (r["url"], line)
+                tid_surface[tid] = surface
+            elif line.startswith("R"):
+                n_rel_rows += 1
+                _, body = line.split("\t")
+                _, a1, a2 = body.split(" ")
+                assert a1.split(":")[1] in tid_surface
+                assert a2.split(":")[1] in tid_surface
+    assert n_rel_rows > 0
+    # DCT self-loops present as attribute rows
+    all_ann = "\n".join(r["ann"] for r in brat.collect())
+    assert "DCT-Rel" in all_ann
+
+
 def test_xml_mod_attributes_roundtrip(spark, extracted):
     xml_df = xml_io.annotations_to_xml(extracted["annotations"])
     n_mod = 0

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the pure algebraic core."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jamie_spark import bio
+from jamie_spark.textnorm import IDEOGRAPHIC_SPACE, JASP, han_to_zen, zen_to_han
+from jamie_spark.tokenizer import split_sentences, tokenize
+
+TAGS = ["d", "a", "r", "TIMEX3", "t-key", "t-val"]
+
+bio_tags = st.lists(
+    st.one_of(
+        st.just("O"),
+        st.sampled_from([f"B-{t}" for t in TAGS]),
+        st.sampled_from([f"I-{t}" for t in TAGS]),
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(bio_tags)
+@settings(max_examples=300)
+def test_bio_to_spans_total_and_wellformed(tags):
+    """Never raises on any B/I/O sequence; spans are ordered, non-overlapping,
+    in-bounds, non-empty, and every non-O token is covered by exactly one span
+    (reference bio_to_spans tolerates all malformed transitions)."""
+    spans = bio.bio_to_spans(tags)
+    prev_end = 0
+    covered = set()
+    for tag, b, e in spans:
+        assert 0 <= b < e <= len(tags)
+        assert b >= prev_end
+        prev_end = e
+        assert tag in TAGS
+        covered.update(range(b, e))
+    assert covered == {i for i, t in enumerate(tags) if t != "O"}
+
+
+@st.composite
+def span_sets(draw):
+    n = draw(st.integers(min_value=0, max_value=20))
+    spans = []
+    pos = 0
+    while pos < n:
+        gap = draw(st.integers(min_value=0, max_value=3))
+        b = pos + gap
+        if b >= n:
+            break
+        e = draw(st.integers(min_value=b + 1, max_value=n))
+        spans.append((draw(st.sampled_from(TAGS)), b, e))
+        pos = e
+    return n, spans
+
+
+@given(span_sets())
+@settings(max_examples=300)
+def test_spans_bio_roundtrip(ns):
+    """spans -> BIO -> spans is the identity for any well-formed span set —
+    EXCEPT adjacent same-tag spans, which BIO cannot distinguish from one
+    span... so we re-encode and require a fixpoint instead of raw equality."""
+    n, spans = ns
+    tags = bio.spans_to_bio(n, spans)
+    decoded = bio.bio_to_spans(tags)
+    assert bio.spans_to_bio(n, decoded) == tags
+    # same total coverage
+    assert {i for _, b, e in spans for i in range(b, e)} == {
+        i for _, b, e in decoded for i in range(b, e)
+    }
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=300)
+def test_tokenize_lossless_modulo_whitespace(s):
+    """Concatenating tokens (JASP decoded) reproduces the input minus ASCII
+    whitespace — tokenization never drops or invents content."""
+    s = s.replace("\n", "").replace("。", "")  # single-sentence input
+    toks = tokenize(s)
+    rebuilt = "".join(
+        IDEOGRAPHIC_SPACE if t == JASP else t for t in toks
+    )
+    expected = "".join(ch for ch in s if ch not in (" ", "\t", "\r"))
+    assert rebuilt == expected
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=200)
+def test_sentence_split_preserves_content(s):
+    joined = "".join(split_sentences(s))
+    expected = "".join(
+        ch for ch in s.replace("\n", "") if True
+    )
+    # split only strips spaces at sentence edges and drops newlines
+    assert joined.replace(" ", "") == s.replace("\n", "").replace(" ", "")
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=200)
+def test_width_roundtrip(s):
+    """zen_to_han is exactly inverted by han_to_zen on the full-width block."""
+    z = han_to_zen(s)
+    assert han_to_zen(zen_to_han(z)) == z
