@@ -342,6 +342,12 @@ shingles AS (
 """
 
 
+def _kg_dict_values() -> str:
+    """Render _KG_DICT as a SQL VALUES list — single source of truth for the
+    Spark query AND its oracle."""
+    return ", ".join(f"('{s}','{t}')" for s, t in _KG_DICT)
+
+
 def _simhash_sql() -> str:
     nib = [
         f"(instr('0123456789abcdef', substr(hx, {p + 1}, 1)) - 1)"
@@ -416,12 +422,8 @@ SELECT doc_id, {pred} AS pred_lang FROM scores
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     return {
-        "kg_mentions": """
-WITH dict(surface, tag) AS (VALUES
-    ('spark','tool'),('join','op'),('filter','op'),('agg','op'),
-    ('window','op'),('scan','op'),('sort','op'),('merge','op'),
-    ('table','obj'),('row','obj'),('column','obj'),('query','obj'),
-    ('stream','obj'),('batch','obj')),
+        "kg_mentions": f"""
+WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
 words AS (
     SELECT doc_id, unnest(ws) AS surface,
            CAST(generate_subscripts(ws, 1) AS INT) AS pos
@@ -430,12 +432,8 @@ words AS (
 SELECT w.doc_id, w.pos, w.surface, d.tag
 FROM words w JOIN dict d ON w.surface = d.surface
 """,
-        "kg_triples_window": """
-WITH dict(surface, tag) AS (VALUES
-    ('spark','tool'),('join','op'),('filter','op'),('agg','op'),
-    ('window','op'),('scan','op'),('sort','op'),('merge','op'),
-    ('table','obj'),('row','obj'),('column','obj'),('query','obj'),
-    ('stream','obj'),('batch','obj')),
+        "kg_triples_window": f"""
+WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
 words AS (
     SELECT doc_id, unnest(ws) AS surface,
            CAST(generate_subscripts(ws, 1) AS INT) AS pos

@@ -61,7 +61,7 @@ def run_kg_bench(spark, n_docs: int, warmup: bool = True) -> tuple[float, int]:
         wpages.count()
         wr = pipeline.run_kg(wpages, concepts)
         wr["canonical_triples"].count()
-        wr["annotations"].unpersist()
+        pipeline.release(wr)
         wpages.unpersist()
 
     pages = fixtures.pages_df_distributed(spark, n_docs, seed=42).cache()
@@ -70,7 +70,7 @@ def run_kg_bench(spark, n_docs: int, warmup: bool = True) -> tuple[float, int]:
     result = pipeline.run_kg(pages, concepts, checkpoint_dir="/tmp/jamie_bench_ckpt_main")
     n = result["canonical_triples"].count()
     dt = time.perf_counter() - t0
-    result["annotations"].unpersist()
+    pipeline.release(result)
     pages.unpersist()
     return dt, n
 
@@ -162,7 +162,7 @@ def kg_from_parquet(cpus: int, n_docs: int) -> None:
     wp = fixtures.pages_df_distributed(spark, 2000, seed=7)
     wr = pipeline.run_kg(wp, concepts)
     wr["canonical_triples"].count()
-    wr["annotations"].unpersist()
+    pipeline.release(wr)
 
     pages = spark.read.parquet(CORPUS_PATH)
     t0 = time.perf_counter()

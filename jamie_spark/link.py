@@ -96,6 +96,7 @@ def link_surfaces(
     concept_dict: "DataFrame",
     min_jaccard: float = 0.10,
     fuzzy: str = "broadcast",
+    materialize: bool = True,
 ) -> "DataFrame":
     """(surface[, sem_type]) x dictionary -> (surface, concept_id, score, method).
 
@@ -117,9 +118,14 @@ def link_surfaces(
     """
     typed = "sem_type" in surfaces.columns
     surf_cols = ["surface"] + (["sem_type"] if typed else [])
-    # vocabulary-sized and scanned by three branches (exact, anti-join, fuzzy)
-    # — persist so the upstream corpus-sized plan runs exactly once.
-    surf = surfaces.select(*surf_cols).distinct().persist()
+    surf = surfaces.select(*surf_cols).distinct()
+    if materialize:
+        # vocabulary-sized and scanned by three branches (exact, anti-join,
+        # fuzzy) — persist so the upstream corpus-sized plan runs exactly
+        # once. Callers that already hand in a cheap-to-rescan input (parquet
+        # checkpoint / localCheckpoint, e.g. pipeline.run_kg) pass
+        # materialize=False to avoid leaking cache blocks per invocation.
+        surf = surf.persist()
     dic = concept_dict.select(
         "concept_id",
         normalize_col(F.col("alias")).alias("alias_norm"),

@@ -194,20 +194,35 @@ def sample_frames(media: "DataFrame", every: int = 1) -> "DataFrame":
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                if kind != "video" or payload[:4] != b"JMVI":
+                # per-row isolation: a null/corrupt/truncated video yields no
+                # frames instead of failing the task (same contract as
+                # decode_media's ok=False path)
+                if (
+                    kind != "video"
+                    or payload is None
+                    or len(payload) < 6
+                    or payload[:4] != b"JMVI"
+                ):
                     continue
-                (nf,) = struct.unpack(">H", payload[4:6])
-                pos = 6
-                for f in range(nf):
-                    w, h = struct.unpack(">HH", payload[pos + 4 : pos + 8])
-                    body = payload[pos + 8 : pos + 8 + w * h]
-                    pos += 8 + w * h
-                    if f % every == 0:
-                        out["media_id"].append(mid)
-                        out["frame_id"].append(f)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["pixels"].append(bytes(body))
+                try:
+                    (nf,) = struct.unpack(">H", payload[4:6])
+                    pos = 6
+                    for f in range(nf):
+                        if pos + 8 > len(payload):
+                            break  # truncated mid-frame
+                        w, h = struct.unpack(">HH", payload[pos + 4 : pos + 8])
+                        if pos + 8 + w * h > len(payload):
+                            break
+                        body = payload[pos + 8 : pos + 8 + w * h]
+                        pos += 8 + w * h
+                        if f % every == 0:
+                            out["media_id"].append(mid)
+                            out["frame_id"].append(f)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["pixels"].append(bytes(body))
+                except struct.error:
+                    continue
             if out["media_id"]:
                 yield pd.DataFrame(out)
 

@@ -92,12 +92,29 @@ def run_kg(
         surfaces = surfaces.localCheckpoint(eager=True)
     # links are consumed twice (subj + obj resolution) as broadcast sides;
     # materialize once (vocabulary-sized) so the whole linking subtree isn't
-    # inlined into both broadcast builds.
-    links = link.link_surfaces(surfaces, concept_dict).localCheckpoint(eager=True)
+    # inlined into both broadcast builds. materialize=False: surfaces are
+    # already checkpoint-backed here, so link_surfaces must not add its own
+    # persist (it would leak one cache entry per run_kg call — found by
+    # review in the foreachBatch/per-bucket loops).
+    links = link.link_surfaces(
+        surfaces, concept_dict, materialize=False
+    ).localCheckpoint(eager=True)
     concept_canon = canon.canonicalize_concepts(concept_dict)
     canonical = graph.canonical_triples(triples, links, concept_canon)
+    cached = [flat] if checkpoint_dir is None else []
     return {**ext, "links": links, "concept_canon": concept_canon,
-            "canonical_triples": canonical}
+            "canonical_triples": canonical, "_cached": cached}
+
+
+def release(result: dict) -> None:
+    """Unpersist everything a run_kg result pinned (call once per micro-batch
+    / bucket in long-running loops; checkpoint blocks are freed by the
+    context cleaner when the returned DataFrames go out of scope)."""
+    for df in result.get("_cached", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def run_with_lineage(
@@ -132,7 +149,7 @@ def run_with_lineage(
             os.path.join(out_dir, "data", f"bucket={b}")
         )
         out.unpersist()
-        result["annotations"].unpersist()
+        release(result)
         lineage.append_lineage_row(
             spark, out_dir, stage, b, stats["lo"], stats["hi"],
             MODEL_VERSION, stats["n"], n_triples,

@@ -101,21 +101,23 @@ def mod_stage(ner_df: "DataFrame") -> "DataFrame":
 def rel_stage(mod_df: "DataFrame") -> "DataFrame":
     """M6 (PipelineRelation analog): R2 candidate pairs -> multihead lists.
 
-    Pair generation and classification stay intra-row (sentence = row), so
-    the stage is shuffle-free like the joint path.
+    Classifies over the UPSTREAM stage's spans (bio_to_spans of the provided
+    ner column) — never re-detects entities, so any NER model's checkpointed
+    output can feed it. Pair generation and classification stay intra-row
+    (sentence = row), so the stage is shuffle-free like the joint path.
     """
     from .bio import bio_to_spans
+    from .standin import relations_for_spans
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        t = _tagger()
         all_rels, all_heads = [], []
         for toks, ner in zip(pdf["tokens"], pdf["ner"]):
-            toks = list(toks)
-            # the stand-in's relation rules ARE the pair classifier; reuse the
-            # joint decode on the same spans for contract equality
-            _, _, rels, heads = t.annotate_sentence(toks)
-            # sanity: spans derived by earlier stages must match
-            assert bio_to_spans(list(ner)) == t._match_entities(toks)
+            n = len(list(toks))
+            rels: list[list[str]] = [[] for _ in range(n)]
+            heads: list[list[int]] = [[] for _ in range(n)]
+            for tail, head, rel in relations_for_spans(bio_to_spans(list(ner))):
+                rels[tail].append(rel)
+                heads[tail].append(head)
             all_rels.append(rels)
             all_heads.append(heads)
         out = pdf[["url", "sent_id", "tokens", "ner", "mod"]].copy()

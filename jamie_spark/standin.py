@@ -129,26 +129,38 @@ class StandInJointExtractor:
                 ner[i] = f"I-{tag}"
             mod[e - 1] = self._modality(tokens, tag, b, e)
 
-        d_anchors = [e - 1 for t, b, e in spans if t == "d"]
-        a_anchors = [e - 1 for t, b, e in spans if t == "a"]
-        t_anchors = [e - 1 for t, b, e in spans if t == "TIMEX3"]
-        key_anchors = [e - 1 for t, b, e in spans if t == "t-key"]
-        val_anchors = [e - 1 for t, b, e in spans if t == "t-val"]
-
-        def add(tail: int, head: int, rel: str) -> None:
+        for tail, head, rel in relations_for_spans(spans):
             rels[tail].append(rel)
             heads[tail].append(head)
 
-        for d in d_anchors:
-            for a in a_anchors:
-                add(d, a, concepts.REL_REGION)
-            for t in t_anchors:
-                add(d, t, concepts.REL_TIME)
-            if t_anchors:
-                add(d, d, concepts.DCT_ON)  # DCT self-loop
-        for v in val_anchors:
-            preceding = [k for k in key_anchors if k < v]
-            if preceding:
-                add(v, max(preceding), concepts.REL_VALUE)
-
         return ner, mod, rels, heads
+
+
+def relations_for_spans(
+    spans: list[tuple[str, int, int]],
+) -> list[tuple[int, int, str]]:
+    """The relation rule grammar over decoded spans: (tail_anchor,
+    head_anchor, rel), anchors = span-final token ids.
+
+    Factored out so the staged pipeline's relation stage (M6) can classify
+    over ANY upstream NER output — it must not re-run span detection.
+    """
+    d_anchors = [e - 1 for t, b, e in spans if t == "d"]
+    a_anchors = [e - 1 for t, b, e in spans if t == "a"]
+    t_anchors = [e - 1 for t, b, e in spans if t == "TIMEX3"]
+    key_anchors = [e - 1 for t, b, e in spans if t == "t-key"]
+    val_anchors = [e - 1 for t, b, e in spans if t == "t-val"]
+
+    out: list[tuple[int, int, str]] = []
+    for d in d_anchors:
+        for a in a_anchors:
+            out.append((d, a, concepts.REL_REGION))
+        for t in t_anchors:
+            out.append((d, t, concepts.REL_TIME))
+        if t_anchors:
+            out.append((d, d, concepts.DCT_ON))  # DCT self-loop
+    for v in val_anchors:
+        preceding = [k for k in key_anchors if k < v]
+        if preceding:
+            out.append((v, max(preceding), concepts.REL_VALUE))
+    return out

@@ -69,7 +69,7 @@ def stream_kg(
             .write.mode("append")
             .parquet(out_dir)
         )
-        result["annotations"].unpersist()
+        pipeline.release(result)
 
     return (
         pages_stream.writeStream.foreachBatch(process)

@@ -44,16 +44,22 @@ def doc_to_xml(sentences: list[dict]) -> str:
     """
     tid = 0
     span2tid: dict[tuple[int, int, int], tuple[str, str]] = {}
-    rels: dict[tuple, str] = {}
+    # pair -> ordered distinct rel labels. The reference's span2rel dict
+    # (data_objects.py:279-280) silently keeps only the LAST label when one
+    # pair carries several relation types, while its brat writer keeps all —
+    # we emit all distinct labels (one standoff row each) and use the first
+    # for the DCT attribute, fixing that inconsistency.
+    rels: dict[tuple, list[str]] = {}
     for s in sentences:
         sid = s["sent_id"]
         for e in s["entities"]:
             tid += 1
             span2tid[(sid, e["begin"], e["end"])] = (f"T{tid}", e["tag"])
         for t in s.get("detailed_triples", []):
-            rels[
-                (sid, t["tail_begin"], t["tail_end"], t["head_begin"], t["head_end"])
-            ] = t["rel"]
+            key = (sid, t["tail_begin"], t["tail_end"], t["head_begin"], t["head_end"])
+            labels = rels.setdefault(key, [])
+            if t["rel"] not in labels:
+                labels.append(t["rel"])
 
     lines = []
     for s in sentences:
@@ -67,23 +73,24 @@ def doc_to_xml(sentences: list[dict]) -> str:
                 attrs += f' {MOD_DICT[e["mod"]]}="{e["mod"]}"'
             self_key = (sid, e["begin"], e["end"], e["begin"], e["end"])
             if self_key in rels:
-                attrs += f' DCT-Rel="{rels[self_key]}"'
+                attrs += f' DCT-Rel="{rels[self_key][0]}"'
             toks.insert(e["end"], f"</{tag}>")
             toks.insert(e["begin"], f"<{tag}{attrs}>")
         lines.append("".join(toks))
 
     rid = 0
-    for (sid, tb, te, hb, he), rel in rels.items():
+    for (sid, tb, te, hb, he), labels in rels.items():
         if (tb, te) == (hb, he):
             continue  # DCT self-loops live in the attribute, not standoff
         tail_tid, tail_tag = span2tid[(sid, tb, te)]
         head_tid, head_tag = span2tid[(sid, hb, he)]
         rel_tag = "trel" if "TIMEX3" in (tail_tag, head_tag) else "brel"
-        rid += 1
-        lines.append(
-            f'<{rel_tag} rid="R{rid}" arg1="{tail_tid}" arg2="{head_tid}"'
-            f' reltype="{rel}" />'
-        )
+        for rel in labels:
+            rid += 1
+            lines.append(
+                f'<{rel_tag} rid="R{rid}" arg1="{tail_tid}" arg2="{head_tid}"'
+                f' reltype="{rel}" />'
+            )
     return "\n".join(lines) + "\n"
 
 

@@ -94,6 +94,29 @@ def test_xml_roundtrip_triples(spark, extracted):
     assert sorted(got) == sorted(expected)
 
 
+def test_xml_multiple_rel_types_same_pair():
+    """Two relation labels on the same entity pair must both be emitted
+    (the reference's span2rel dict drops all but the last — fixed here)."""
+    sentences = [
+        {
+            "sent_id": 0,
+            "tokens": ["肺癌", "は", "肺", "に"],
+            "entities": [
+                {"tag": "d", "begin": 0, "end": 1, "mod": "positive"},
+                {"tag": "a", "begin": 2, "end": 3, "mod": "_"},
+            ],
+            "detailed_triples": [
+                {"tail_begin": 0, "tail_end": 1, "head_begin": 2, "head_end": 3,
+                 "rel": "region"},
+                {"tail_begin": 0, "tail_end": 1, "head_begin": 2, "head_end": 3,
+                 "rel": "feature"},
+            ],
+        }
+    ]
+    xml = xml_io.doc_to_xml(sentences)
+    assert 'reltype="region"' in xml and 'reltype="feature"' in xml
+
+
 def test_brat_offsets_and_relations(spark, extracted):
     """Brat standoff: char offsets index the .txt exactly; relation rows wire
     span-final anchors; DCT self-loops become A rows (data_objects.py:312-361

@@ -58,6 +58,27 @@ def test_frame_sampling(spark, media):
     assert len(f0["pixels"]) == f0["width"] * f0["height"]
 
 
+def test_frame_sampling_corrupt_video_isolated(spark):
+    """Null/truncated video payloads yield no frames instead of killing the
+    task (same per-row contract as decode_media)."""
+    good = mm.encode_video(7, 2, 4, 4)
+    bad = spark.createDataFrame(
+        [
+            (1, "video", None, (None, None, None, None)),
+            (2, "video", b"JMVI\x00\x02" + b"\x00" * 3, (None, None, None, None)),
+            (3, "video", good[: len(good) - 5], (None, None, None, None)),
+            (7, "video", good, (4, 4, None, 2)),
+        ],
+        mm.MEDIA_DDL,
+    )
+    rows = mm.sample_frames(bad, every=1).collect()
+    ids = {r["media_id"] for r in rows}
+    assert 7 in ids  # intact video still decoded
+    assert 1 not in ids and 2 not in ids
+    # media 3 may contribute its first (complete) frame only
+    assert all(r["media_id"] in (3, 7) for r in rows)
+
+
 def test_real_codec_slot_raises_cleanly():
     with pytest.raises(NotImplementedError):
         mm._decode_image_real(b"JMIM....")
