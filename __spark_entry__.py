@@ -95,6 +95,55 @@ def _kg_triples_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINK_CONCEPTS = [
+    ("C1", "spark"), ("C2", "stream"), ("C3", "window"),
+    ("C4", "filter"), ("C5", "column"), ("C6", "batch"),
+]
+
+
+def _kg_link_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2+N3 in oracle-checkable form: fuzzy-link every distinct document
+    word to a concept list by character-bigram Dice similarity, keep the
+    top-1 per word (threshold 0.4, ties -> min concept_id)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .distinct()
+    )
+    concepts = spark.createDataFrame(_LINK_CONCEPTS, "concept_id string, term string")
+    bigrams = "transform(sequence(1, length({c}) - 1), i -> substring({c}, i, 2))"
+    w_bg = words.select(
+        "w",
+        F.array_distinct(F.expr(bigrams.format(c="w"))).alias("bg"),
+    ).select("w", F.size("bg").alias("n_w"), F.explode("bg").alias("g"))
+    c_bg = concepts.select(
+        "concept_id",
+        F.array_distinct(F.expr(bigrams.format(c="term"))).alias("bg"),
+    ).select(
+        "concept_id", F.size("bg").alias("n_c"), F.explode("bg").alias("g")
+    )
+    scored = (
+        w_bg.join(F.broadcast(c_bg), "g")
+        .groupBy("w", "concept_id", "n_w", "n_c")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(
+            "w",
+            "concept_id",
+            F.round(2 * F.col("inter") / (F.col("n_w") + F.col("n_c")), 4).alias("score"),
+        )
+        .where(F.col("score") >= 0.4)
+    )
+    win = Window.partitionBy("w").orderBy(F.desc("score"), F.asc("concept_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .select(F.col("w").alias("surface"), "concept_id", "score")
+    )
+
+
 def _n3_window_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N3 rerank semantics: top-1 event per user by (value desc, event_id)."""
     from pyspark.sql import Window
@@ -294,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_window": _kg_triples_window,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_canon_components": _kg_canon_components,
+        "kg_link_rerank": _kg_link_rerank,
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
@@ -340,6 +390,10 @@ shingles AS (
     )
 )
 """
+
+
+def _link_concepts_values() -> str:
+    return ", ".join(f"('{c}','{t}')" for c, t in _LINK_CONCEPTS)
 
 
 def _kg_dict_values() -> str:
@@ -446,6 +500,36 @@ SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b, a.surface AS subj,
 FROM m a JOIN m b ON a.doc_id = b.doc_id
 WHERE a.tag = 'op' AND b.tag = 'obj'
   AND b.pos > a.pos AND b.pos - a.pos <= 3
+""",
+        "kg_link_rerank": f"""
+WITH concepts(concept_id, term) AS (VALUES {_link_concepts_values()}),
+words AS (
+    SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) >= 2
+),
+wbg AS (
+    SELECT w, len(bg) AS n_w, unnest(bg) AS g FROM (
+        SELECT w, list_distinct(list_transform(range(1, length(w)),
+            i -> substring(w, i, 2))) AS bg FROM words)
+),
+cbg AS (
+    SELECT concept_id, len(bg) AS n_c, unnest(bg) AS g FROM (
+        SELECT concept_id, list_distinct(list_transform(range(1, length(term)),
+            i -> substring(term, i, 2))) AS bg FROM concepts)
+),
+scored AS (
+    SELECT w, concept_id,
+           round(2.0 * COUNT(*) / (n_w + n_c), 4) AS score
+    FROM wbg JOIN cbg USING (g)
+    GROUP BY w, concept_id, n_w, n_c
+    HAVING round(2.0 * COUNT(*) / (n_w + n_c), 4) >= 0.4
+)
+SELECT w AS surface, concept_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY w ORDER BY score DESC, concept_id ASC) AS rn
+    FROM scored
+) WHERE rn = 1
 """,
         "n3_window_top1": """
 SELECT user_id, event_id, event_type, round(value, 4) AS value

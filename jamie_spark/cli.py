@@ -1,0 +1,74 @@
+"""spark-submit entry point: ship the whole pipeline as one job.
+
+    zip -r jamie_spark.zip jamie_spark
+    spark-submit --py-files jamie_spark.zip -m ... jamie_spark/cli.py \\
+        --pages /path/pages.parquet --concepts /path/concepts.parquet \\
+        --out /path/kg --buckets 64
+
+or, with the package on the path: ``python -m jamie_spark.cli ...``.
+
+Resumable by construction: re-running the same command continues from the
+lineage table (pending url-hash buckets only, N6). ``--fixture N`` synthesizes
+a deterministic corpus instead of reading ``--pages`` (demo/smoke use).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="jamie-spark KG construction")
+    p.add_argument("--pages", help="input pages parquet/iceberg path")
+    p.add_argument("--concepts", help="concept dictionary parquet path")
+    p.add_argument("--out", required=True, help="output + lineage directory")
+    p.add_argument("--buckets", type=int, default=64,
+                   help="url-hash buckets (resume granularity)")
+    p.add_argument("--lang", default="ja")
+    p.add_argument("--fixture", type=int, default=0,
+                   help="synthesize N fixture pages instead of --pages")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-buckets", type=int, default=None,
+                   help="cap buckets this invocation (testing)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pyspark.sql import SparkSession
+
+    # absolute imports: spark-submit runs this file as a top-level script
+    # (no parent package), while `python -m jamie_spark.cli` has one.
+    from jamie_spark import fixtures, lineage, pipeline
+
+    args = build_parser().parse_args(argv)
+    spark = (
+        SparkSession.builder.appName("jamie-spark-kg")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    if args.fixture:
+        pages = fixtures.pages_df_distributed(spark, args.fixture, args.seed)
+        concepts = fixtures.concept_df(spark)
+    else:
+        if not args.pages or not args.concepts:
+            print("--pages and --concepts required (or use --fixture N)",
+                  file=sys.stderr)
+            return 2
+        pages = spark.read.parquet(args.pages)
+        concepts = spark.read.parquet(args.concepts)
+
+    done = pipeline.run_with_lineage(
+        spark, pages, concepts, args.out,
+        n_buckets=args.buckets, max_buckets=args.max_buckets,
+    )
+    lin = lineage.read_lineage(spark, args.out)
+    total = lin.groupBy().sum("triple_count").first()[0] or 0
+    print(f"processed buckets this run: {done}")
+    print(f"total triples materialized: {total}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -105,3 +105,32 @@ def tokenize(sentence: str) -> list[str]:
 def tokenize_text(text: str) -> list[list[str]]:
     """Segment + tokenize a whole document: list of token lists per sentence."""
     return [tokenize(s) for s in split_sentences(text)]
+
+
+def chunk_sentences(
+    sentence_lengths: list[int], max_len: int = 510
+) -> list[tuple[int, int]]:
+    """T11: greedy pack sentences into chunks of <= max_len units.
+
+    Mirrors the reference's 512-subword document trunking
+    (``utils.py:704-722`` with ``bert_sent_len`` per line): sentences are
+    packed greedily in order; a sentence that alone exceeds ``max_len``
+    becomes its own (oversized) chunk, to be dropped by the T12 length gate
+    downstream rather than silently truncated.
+
+    Returns (start_sentence, end_sentence_exclusive) per chunk. Runs
+    intra-row inside the extraction UDF — a document is one row, so chunking
+    never shuffles.
+    """
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    acc = 0
+    for i, n in enumerate(sentence_lengths):
+        if acc and acc + n > max_len:
+            chunks.append((start, i))
+            start = i
+            acc = 0
+        acc += n
+    if acc or (start == 0 and not chunks and sentence_lengths):
+        chunks.append((start, len(sentence_lengths)))
+    return chunks

@@ -83,6 +83,26 @@ def test_tokenize_char_classes():
 
 # --- stand-in tagger == gold (the P/R gate core, pure form) ------------------
 
+def test_chunk_sentences_greedy():
+    from jamie_spark.tokenizer import chunk_sentences
+
+    # packs greedily; oversized sentence becomes its own chunk
+    assert chunk_sentences([100, 200, 200], max_len=510) == [(0, 3)]
+    assert chunk_sentences([100, 200, 300], max_len=510) == [(0, 2), (2, 3)]
+    assert chunk_sentences([400, 200, 300], max_len=510) == [(0, 1), (1, 3)]
+    assert chunk_sentences([600, 100], max_len=510) == [(0, 1), (1, 2)]
+    assert chunk_sentences([], max_len=510) == []
+    assert chunk_sentences([510, 510], max_len=510) == [(0, 1), (1, 2)]
+    # chunks tile the document exactly
+    lens = [123, 456, 1, 510, 44, 509, 2]
+    chunks = chunk_sentences(lens, max_len=510)
+    assert chunks[0][0] == 0 and chunks[-1][1] == len(lens)
+    assert all(a[1] == b[0] for a, b in zip(chunks, chunks[1:]))
+    assert all(
+        sum(lens[b:e]) <= 510 or e - b == 1 for b, e in chunks
+    )
+
+
 def test_standin_matches_gold_annotations():
     pages, gold_m, _, gold_t = gen_corpus(200, seed=42)
     tagger = StandInJointExtractor()
