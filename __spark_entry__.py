@@ -281,6 +281,112 @@ def _tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (the N5 skew technique, with its
+    correctness proven by the plain-group-by oracle): salt -> partial sums ->
+    final sums. Decimal arithmetic keeps both phases exact/associative."""
+    ev = _read(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("s").cast("double").alias("sum_value"),
+        F.sum("c").cast("long").alias("n_events"),
+    )
+
+
+def _sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap (the
+    applyInPandasWithState shape, expressed as lag + cumulative sum so the
+    batch semantics are DuckDB-checkable)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(order))
+            > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return gapped.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _q3_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 open-order revenues for one segment
+    (3-way join + decimal agg + deterministic top-k)."""
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        F.broadcast(cust)
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: order revenue per region (4-way broadcast-dim join)."""
+    region = _read(spark, sf_dir, "region")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brief's dedup family): all pairs with
+    cosine >= 0.45 (exact, sequential-fold dot products)."""
+    return sim.cosine_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
@@ -355,6 +461,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_length_filter": _r10_length_filter,
         "broadcast_dim_join": _broadcast_dim_join,
         "tumbling_window": _tumbling_window,
+        "skew_salted_agg": _skew_salted_agg,
+        "sessionization": _sessionization,
+        "q3_shipping_topk": _q3_shipping_topk,
+        "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
         "token_counts": _token_counts,
         "text_quality": _quality,
@@ -363,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_minhash_lsh": _minhash_pairs,
         "dedup_simhash": _simhash,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "doc_fingerprint": _fingerprints,
         "sim_cosine_topk": _cosine_topk,
         "sim_lsh_topk": _lsh_topk,
@@ -601,6 +712,78 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+""",
+        "skew_salted_agg": """
+WITH partial AS (
+    SELECT event_type, event_id % 8 AS salt,
+           SUM(CAST(value AS DECIMAL(18,4))) AS s, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(SUM(s) AS DOUBLE) AS sum_value,
+       CAST(SUM(c) AS BIGINT) AS n_events
+FROM partial GROUP BY event_type
+""",
+        "sessionization": """
+WITH g AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+            AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+""",
+        "q3_shipping_topk": """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+        "q5_regional_revenue": """
+SELECT r_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "dedup_embedding_cosine": """
+WITH normed AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(x AS DOUBLE) / n) AS ne
+    FROM (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+        FROM embeddings)
+),
+scored AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, 65),
+               i -> a.ne[i] * b.ne[i])), 4) AS score
+    FROM normed a, normed b WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
 """,
         "tumbling_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

