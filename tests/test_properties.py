@@ -95,6 +95,55 @@ def test_sentence_split_preserves_content(s):
     assert joined.replace(" ", "") == s.replace("\n", "").replace(" ", "")
 
 
+_VOCAB_CHARS = "abcdefgh"
+
+
+@st.composite
+def words_and_labels(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    words = [
+        draw(st.text(alphabet=_VOCAB_CHARS, min_size=1, max_size=6))
+        for _ in range(n)
+    ]
+    labels = ["O"] * n
+    i = 0
+    while i < n:
+        if draw(st.booleans()):
+            tag = draw(st.sampled_from(TAGS))
+            end = min(n, i + draw(st.integers(min_value=1, max_value=3)))
+            labels[i] = f"B-{tag}"
+            for j in range(i + 1, end):
+                labels[j] = f"I-{tag}"
+            i = end
+        else:
+            i += 1
+    mods = [
+        draw(st.sampled_from(["_", "positive", "negative"])) for _ in range(n)
+    ]
+    return words, labels, mods
+
+
+@given(words_and_labels())
+@settings(max_examples=200)
+def test_subword_expand_collapse_roundtrip(wl):
+    """word -> subword -> word is lossless for tokens, BIO and modality under
+    ANY vocab (unknown pieces fall back to [UNK] + de-UNK restoration)."""
+    from jamie_spark import subword as sw
+
+    words, labels, mods = wl
+    vocab = {"a", "b", "##c", "##d", "ab", "##ba", "e"}  # partial on purpose
+    sbw, wid = sw.tokenize_subwords(words, vocab)
+    restored = sw.restore_unk(sbw, wid, words)
+    sbw_ner = sw.expand_ner_labels(labels, wid)
+    sbw_mod = sw.shift_mod_labels(mods, wid)
+    toks2, ner2, mod2, _, _ = sw.collapse_to_words(
+        restored, wid, sbw_ner, sbw_mod, [[] for _ in sbw], [[] for _ in sbw]
+    )
+    assert toks2 == words
+    assert ner2 == labels
+    assert mod2 == mods
+
+
 @given(st.text(min_size=0, max_size=60))
 @settings(max_examples=200)
 def test_width_roundtrip(s):
