@@ -209,6 +209,24 @@ def test_skew_salting_bounds_partition_sizes(spark):
     canonical.unpersist()
 
 
+def test_run_kg_empty_corpus(spark, corpus):
+    """Zero input pages -> zero triples, no crash anywhere in the chain."""
+    empty = corpus["pages"].where(F.lit(False))
+    result = pipeline.run_kg(empty, corpus["concepts"])
+    assert result["canonical_triples"].count() == 0
+
+
+def test_run_kg_html_only_pages(spark, corpus):
+    """Pages with text=NULL exercise the html extraction path end-to-end and
+    produce the same triples as the text-bearing corpus."""
+    html_only = corpus["pages"].withColumn("text", F.lit(None).cast("string"))
+    a = pipeline.run_kg(html_only, corpus["concepts"])["canonical_triples"]
+    b = pipeline.run_kg(corpus["pages"], corpus["concepts"])["canonical_triples"]
+    key = ["url", "sent_id", "subj_surface", "pred", "obj_surface"]
+    assert a.select(*key).exceptAll(b.select(*key)).count() == 0
+    assert a.count() == b.count() > 0
+
+
 def test_lineage_resume_idempotent(spark, corpus, tmp_path):
     """Kill-after-k-buckets then rerun == one-shot run; no duplicate lineage."""
     out = str(tmp_path / "kg")
