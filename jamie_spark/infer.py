@@ -33,7 +33,7 @@ from typing import TYPE_CHECKING
 import pandas as pd
 from pyspark.sql import functions as F
 
-from .standin import MODEL_VERSION, StandInJointExtractor
+from .standin import MODEL_VERSION
 from .textnorm import extract_text, zen_to_han
 from .tokenizer import TOKENIZER_VERSION, split_sentences, tokenize
 
@@ -52,16 +52,14 @@ ANNOTATIONS_DDL = (
 
 STAGE_VERSION = f"{TOKENIZER_VERSION}+{MODEL_VERSION}"
 
-# module-level per-python-worker cache (reference analog: the single in-process
-# model of clinical_joint.py; here each executor worker loads once and reuses)
-_TAGGER: StandInJointExtractor | None = None
+def _get_tagger():
+    """Per-python-worker model resolution (reference analog: the single
+    in-process model of clinical_joint.py). Provider selection + memoization
+    live in jamie_spark.models — set JAMIE_MODEL=torch:<dir> on executors to
+    swap in the real artifact behind the same contract."""
+    from .models import get_extractor
 
-
-def _get_tagger() -> StandInJointExtractor:
-    global _TAGGER
-    if _TAGGER is None:
-        _TAGGER = StandInJointExtractor()
-    return _TAGGER
+    return get_extractor()
 
 
 def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
