@@ -726,8 +726,9 @@ FROM partial GROUP BY event_type
         "sessionization": """
 WITH g AS (
     SELECT user_id, ts, event_id,
-        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
-            AS new_session
+        CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+             THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (

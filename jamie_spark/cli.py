@@ -1,7 +1,7 @@
 """spark-submit entry point: ship the whole pipeline as one job.
 
     zip -r jamie_spark.zip jamie_spark
-    spark-submit --py-files jamie_spark.zip -m ... jamie_spark/cli.py \\
+    spark-submit --master <master> --py-files jamie_spark.zip jamie_spark/cli.py \\
         --pages /path/pages.parquet --concepts /path/concepts.parquet \\
         --out /path/kg --buckets 64
 
@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
 
     done = pipeline.run_with_lineage(
         spark, pages, concepts, args.out,
-        n_buckets=args.buckets, max_buckets=args.max_buckets,
+        n_buckets=args.buckets, max_buckets=args.max_buckets, lang=args.lang,
     )
     lin = lineage.read_lineage(spark, args.out)
     total = lin.groupBy().sum("triple_count").first()[0] or 0

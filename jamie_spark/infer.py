@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .standin import MODEL_VERSION
+from .subword import MAX_SUBWORDS
 from .textnorm import extract_text, zen_to_han
 from .tokenizer import TOKENIZER_VERSION, split_sentences, tokenize
 
@@ -77,6 +78,8 @@ def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 body = zen_to_han(body)
                 for sent_id, sentence in enumerate(split_sentences(body)):
                     toks = tokenize(sentence)
+                    if len(toks) > MAX_SUBWORDS:
+                        continue  # T12 gate (reference utils.py:826-828)
                     ner, mod, rels, heads = tagger.annotate_sentence(toks)
                     spans = bio_to_spans(ner)
                     entities = [
@@ -180,6 +183,8 @@ def _flat_arrow_batches(batches):
                 body = zen_to_han(body)
                 for sid, sent in enumerate(split_sentences(body)):
                     toks = tokenize(sent)
+                    if len(toks) > MAX_SUBWORDS:
+                        continue  # T12 gate (reference utils.py:826-828)
                     ner, mod, rels, heads = tagger.annotate_sentence(toks)
                     spans = bio_to_spans(ner)
                     last = {e - 1: (t, b, e) for t, b, e in spans}

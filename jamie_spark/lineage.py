@@ -46,16 +46,21 @@ def read_lineage(spark: "SparkSession", base: str) -> "DataFrame":
 
 
 def pending_buckets(
-    spark: "SparkSession", base: str, stage: str, n_buckets: int
+    spark: "SparkSession",
+    base: str,
+    stage: str,
+    n_buckets: int,
+    model_version: str | None = None,
 ) -> list[int]:
-    done = {
-        r["bucket"]
-        for r in read_lineage(spark, base)
-        .where(F.col("stage") == stage)
-        .select("bucket")
-        .distinct()
-        .collect()
-    }
+    """Buckets not yet completed for (stage, model_version).
+
+    Keying on model_version means swapping the model (JAMIE_MODEL) correctly
+    invalidates prior completions instead of silently skipping them.
+    """
+    lin = read_lineage(spark, base).where(F.col("stage") == stage)
+    if model_version is not None:
+        lin = lin.where(F.col("model_version") == model_version)
+    done = {r["bucket"] for r in lin.select("bucket").distinct().collect()}
     return [b for b in range(n_buckets) if b not in done]
 
 

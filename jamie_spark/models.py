@@ -63,6 +63,16 @@ class TorchJointExtractor:
         )  # pragma: no cover
 
 
+def model_version(spec: str | None = None) -> str:
+    """Version string recorded in lineage rows: the stand-in's pinned version
+    for 'standin', the full spec otherwise. Resume is keyed on this — a model
+    swap must recompute buckets, not skip them."""
+    from .standin import MODEL_VERSION
+
+    spec = spec or os.environ.get("JAMIE_MODEL", "standin")
+    return MODEL_VERSION if spec == "standin" else spec
+
+
 _CACHE: dict[str, object] = {}
 
 

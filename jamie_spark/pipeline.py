@@ -16,7 +16,6 @@ from typing import TYPE_CHECKING
 from pyspark.sql import functions as F
 
 from . import canon, graph, infer, lineage, link, mentions as mentions_mod
-from .standin import MODEL_VERSION
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
@@ -125,19 +124,27 @@ def run_with_lineage(
     n_buckets: int = 8,
     stage: str = "kg_triples",
     max_buckets: int | None = None,
+    lang: str = "ja",
 ) -> list[int]:
     """Bucket-wise run with lineage + resume (N6). Returns buckets processed.
 
+    Resume is keyed on (stage, bucket, model_version) — swapping the model
+    via JAMIE_MODEL invalidates completions of the previous model.
     ``max_buckets`` caps work per invocation (used by the kill/resume test to
     simulate a mid-run crash).
     """
-    todo = lineage.pending_buckets(spark, out_dir, stage, n_buckets)
+    from .models import model_version
+
+    mv = model_version()
+    todo = lineage.pending_buckets(
+        spark, out_dir, stage, n_buckets, model_version=mv
+    )
     if max_buckets is not None:
         todo = todo[:max_buckets]
     bucketed = pages.withColumn("_bucket", lineage.bucket_of_url(n_buckets))
     for b in todo:
         subset = bucketed.where(F.col("_bucket") == b).drop("_bucket")
-        result = run_kg(subset, concept_dict)
+        result = run_kg(subset, concept_dict, lang=lang)
         out = result["canonical_triples"].persist()
         n_triples = out.count()
         stats = subset.agg(
@@ -152,7 +159,7 @@ def run_with_lineage(
         release(result)
         lineage.append_lineage_row(
             spark, out_dir, stage, b, stats["lo"], stats["hi"],
-            MODEL_VERSION, stats["n"], n_triples,
+            mv, stats["n"], n_triples,
         )
     return todo
 

@@ -118,19 +118,24 @@ def chunk_sentences(
     becomes its own (oversized) chunk, to be dropped by the T12 length gate
     downstream rather than silently truncated.
 
-    Returns (start_sentence, end_sentence_exclusive) per chunk. Runs
-    intra-row inside the extraction UDF — a document is one row, so chunking
-    never shuffles.
+    Returns (start_sentence, end_sentence_exclusive) per chunk. Intended for
+    the document-level (trunked) real-model mode where cross-sentence context
+    feeds one encoder window; the per-sentence hot path doesn't need chunks —
+    it enforces the T12 length gate per sentence at runtime instead
+    (jamie_spark.infer). Intra-row either way: a document is one row, so
+    chunking never shuffles.
     """
     chunks: list[tuple[int, int]] = []
     start = 0
     acc = 0
     for i, n in enumerate(sentence_lengths):
-        if acc and acc + n > max_len:
+        # flush on index (never truthiness of acc — zero-length sentences
+        # must neither break the tiling nor ride along with an oversized one)
+        if i > start and acc + n > max_len:
             chunks.append((start, i))
             start = i
             acc = 0
         acc += n
-    if acc or (start == 0 and not chunks and sentence_lengths):
+    if sentence_lengths:
         chunks.append((start, len(sentence_lengths)))
     return chunks

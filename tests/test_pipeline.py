@@ -227,6 +227,20 @@ def test_run_kg_html_only_pages(spark, corpus):
     assert a.count() == b.count() > 0
 
 
+def test_lineage_model_swap_invalidates(spark, corpus, tmp_path):
+    """A different model_version must rerun buckets, not skip them."""
+    from jamie_spark import lineage as lin, models
+
+    out = str(tmp_path / "kg_swap")
+    pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out, n_buckets=2
+    )
+    assert lin.pending_buckets(spark, out, "kg_triples", 2,
+                               model_version=models.model_version()) == []
+    assert lin.pending_buckets(spark, out, "kg_triples", 2,
+                               model_version="torch:other-model") == [0, 1]
+
+
 def test_lineage_resume_idempotent(spark, corpus, tmp_path):
     """Kill-after-k-buckets then rerun == one-shot run; no duplicate lineage."""
     out = str(tmp_path / "kg")

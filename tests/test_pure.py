@@ -92,6 +92,10 @@ def test_chunk_sentences_greedy():
     assert chunk_sentences([400, 200, 300], max_len=510) == [(0, 1), (1, 3)]
     assert chunk_sentences([600, 100], max_len=510) == [(0, 1), (1, 2)]
     assert chunk_sentences([], max_len=510) == []
+    # zero-length sentences: tiling holds, oversized still isolated
+    assert chunk_sentences([600, 0], max_len=510) == [(0, 1), (1, 2)]
+    assert chunk_sentences([0, 600], max_len=510) == [(0, 1), (1, 2)]
+    assert chunk_sentences([0, 0], max_len=510) == [(0, 2)]
     assert chunk_sentences([510, 510], max_len=510) == [(0, 1), (1, 2)]
     # chunks tile the document exactly
     lens = [123, 456, 1, 510, 44, 509, 2]
