@@ -1,0 +1,33 @@
+"""bench.py must keep the driver's contract: ONE JSON line with the agreed
+keys. Runs the real script in a subprocess at tiny scale."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_driver_contract_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_KG_DOCS="300",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in payload, key
+    assert payload["unit"] == "sec"
+    assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
+    assert payload["queries"]["kg_pipeline"] > 0
+    assert payload["kg_triples"] > 0
