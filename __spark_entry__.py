@@ -404,7 +404,9 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return textstats.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=_NGRAM_MAX_DF
+    )
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+#: document-frequency cap for n-gram Jaccard (textstats.ngram_jaccard_pairs):
+#: single source of truth for the Spark entry AND its DuckDB oracle
+_NGRAM_MAX_DF = 100
 
 _SHINGLES_CTE = """
 shingles AS (
@@ -659,10 +665,14 @@ FROM events GROUP BY 1, 2
         "e2_eval_prf": """
 WITH g AS (
     SELECT user_id, event_type, COUNT(*) AS gc FROM events
-    WHERE event_id % 2 = 0 GROUP BY 1, 2
+    WHERE event_id % 2 = 0
+      AND event_type NOT IN ('N', 'O', '_', 'OO')
+    GROUP BY 1, 2
 ), p AS (
     SELECT user_id, event_type, COUNT(*) AS pc FROM events
-    WHERE value > 50 GROUP BY 1, 2
+    WHERE value > 50
+      AND event_type NOT IN ('N', 'O', '_', 'OO')
+    GROUP BY 1, 2
 ), j AS (
     SELECT COALESCE(g.event_type, p.event_type) AS label,
            COALESCE(gc, 0) AS gc, COALESCE(pc, 0) AS pc
@@ -816,7 +826,11 @@ FROM documents GROUP BY md5(text)
 """,
         "dedup_ngram_jaccard": f"""
 WITH {_SHINGLES_CTE.strip()},
-dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+dsh0 AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+heavy AS (
+    SELECT shingle FROM dsh0 GROUP BY shingle HAVING COUNT(*) > {_NGRAM_MAX_DF}
+),
+dsh AS (SELECT * FROM dsh0 WHERE shingle NOT IN (SELECT shingle FROM heavy)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

@@ -63,6 +63,7 @@ def connected_components(
     edges: "DataFrame",
     max_iter: int = 25,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
+    on_nonconverged: str = "raise",
 ) -> "DataFrame":
     """edges(src string, dst string) -> (vertex string, component string).
 
@@ -71,6 +72,13 @@ def connected_components(
     driver-side union-find below ``small_graph_edges`` (the alias dictionary
     case), GraphFrames when its jar is present, else the distributed
     min-label propagation loop (forced in tests via ``small_graph_edges=0``).
+
+    The propagation loop converges in O(component diameter) rounds; if
+    ``max_iter`` is exhausted first the labels are WRONG (some vertices still
+    carry a non-minimal component id). ``on_nonconverged`` decides what
+    happens then: ``"raise"`` (default — canonicalizing with unconverged
+    labels silently corrupts the KG) or ``"warn"`` (log and return, for
+    exploratory use).
     """
     spark = edges.sparkSession
     if small_graph_edges > 0:
@@ -107,6 +115,7 @@ def connected_components(
     und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["dst"] == labels["vertex"], "inner")
@@ -128,7 +137,18 @@ def connected_components(
         n_changed = new_labels.where("changed").count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds (graph diameter exceeds it); labels are non-canonical"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 

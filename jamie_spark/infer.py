@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .standin import MODEL_VERSION
-from .subword import MAX_SUBWORDS
+from .subword import MAX_SUBWORDS, tokenize_subwords
 from .textnorm import extract_text, zen_to_han
 from .tokenizer import TOKENIZER_VERSION, split_sentences, tokenize
 
@@ -63,10 +63,24 @@ def _get_tagger():
     return get_extractor()
 
 
+def _over_length(toks: list[str], subword_vocab: set[str] | None) -> bool:
+    """T12 gate (reference utils.py:826-842). The reference gates on SUBWORD
+    count; word count is only a lower bound, so it serves as a cheap pre-gate
+    (len(words) > limit implies len(subwords) > limit) and the exact subword
+    gate runs when the active extractor has a subword encoder."""
+    if len(toks) > MAX_SUBWORDS:
+        return True
+    if subword_vocab is not None:
+        sbw, _ = tokenize_subwords(toks, subword_vocab)
+        return len(sbw) > MAX_SUBWORDS
+    return False
+
+
 def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .bio import bio_to_spans, rel_triplets
 
     tagger = _get_tagger()
+    vocab = getattr(tagger, "subword_vocab", None)
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in (
             "url", "sent_id", "tokens", "ner", "mod", "rels", "heads",
@@ -78,8 +92,8 @@ def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 body = zen_to_han(body)
                 for sent_id, sentence in enumerate(split_sentences(body)):
                     toks = tokenize(sentence)
-                    if len(toks) > MAX_SUBWORDS:
-                        continue  # T12 gate (reference utils.py:826-828)
+                    if _over_length(toks, vocab):
+                        continue  # T12 gate (reference utils.py:826-842)
                     ner, mod, rels, heads = tagger.annotate_sentence(toks)
                     spans = bio_to_spans(ner)
                     entities = [
@@ -166,6 +180,7 @@ def _flat_arrow_batches(batches):
     from .bio import bio_to_spans, rel_triplets
 
     tagger = _get_tagger()
+    vocab = getattr(tagger, "subword_vocab", None)
     names = (
         "url", "sent_id", "kind", "tag", "begin", "end", "mod",
         "surface", "obj_surface", "obj_tag", "rel",
@@ -183,8 +198,8 @@ def _flat_arrow_batches(batches):
                 body = zen_to_han(body)
                 for sid, sent in enumerate(split_sentences(body)):
                     toks = tokenize(sent)
-                    if len(toks) > MAX_SUBWORDS:
-                        continue  # T12 gate (reference utils.py:826-828)
+                    if _over_length(toks, vocab):
+                        continue  # T12 gate (reference utils.py:826-842)
                     ner, mod, rels, heads = tagger.annotate_sentence(toks)
                     spans = bio_to_spans(ner)
                     last = {e - 1: (t, b, e) for t, b, e in spans}

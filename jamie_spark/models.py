@@ -33,6 +33,13 @@ from .standin import StandInJointExtractor
 class JointExtractor(Protocol):
     """The M1 contract (reference model.py:598-780 output shape)."""
 
+    #: WordPiece vocabulary when the provider runs a subword encoder, else
+    #: None. The inference stage uses it for the T12 length gate: the
+    #: reference gates on SUBWORD count (utils.py:826-842,
+    #: ``len(bert_tokenizer.tokenize(...)) <= len_limit - 2``), which word
+    #: count only lower-bounds — a 400-word sentence can exceed 510 subwords.
+    subword_vocab: set[str] | None
+
     def annotate_sentence(
         self, tokens: list[str]
     ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:

@@ -53,6 +53,10 @@ class StandInJointExtractor:
     jamie_spark.infer); stateless after init.
     """
 
+    #: no subword encoder -> the T12 gate falls back to word count (an exact
+    #: gate for this provider: it consumes word tokens directly)
+    subword_vocab: set[str] | None = None
+
     def __init__(self) -> None:
         # (tok_tuple) -> tag ; tokenized with the pinned engine tokenizer so
         # dictionary spans align with input tokenization by construction.

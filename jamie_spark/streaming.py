@@ -11,13 +11,20 @@ batch and streaming, which is the idiomatic Spark design. State is bounded:
   uses an event-time watermark on ``warc_ts`` so late pages are bounded and
   state is dropped deterministically.
 
-Checkpointing: each query gets a ``checkpointLocation``; combined with the
-engine's idempotent per-bucket writes (lineage, N6) a crashed stream resumes
-without duplicates.
+Checkpointing: each query gets a ``checkpointLocation``. ``foreachBatch`` is
+at-least-once by itself — a crash after the sink write but before the
+checkpoint commit replays the micro-batch on restart — so the sink must be
+idempotent on ``batch_id``: each micro-batch lands in its own
+``out_dir/batch={batch_id}`` partition with ``mode("overwrite")``, making the
+replay overwrite the partial output instead of duplicating it (the same
+deterministic-overwrite pattern the lineage writer uses per bucket). The
+combination (replayable source + batch-keyed overwrite sink) gives
+effectively-exactly-once output.
 """
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
@@ -45,6 +52,37 @@ def read_page_stream(
     )
 
 
+def process_kg_batch(
+    batch_df: "DataFrame", batch_id: int, concept_dict: "DataFrame", out_dir: str
+) -> None:
+    """One micro-batch: pages -> canonical triples -> batch-keyed overwrite.
+
+    Module-level (not a closure) so the idempotence contract is directly
+    testable: calling this twice with the same ``batch_id`` — the replay a
+    crash between sink write and checkpoint commit produces — must leave the
+    same rows as calling it once (``mode("overwrite")`` into the batch's own
+    partition directory).
+    """
+    if batch_df.isEmpty():
+        return
+    result = pipeline.run_kg(batch_df, concept_dict)
+    from . import graph
+
+    (
+        graph.salted(result["canonical_triples"], n_buckets=8, n_salts=4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"batch={batch_id}"))
+    )
+    pipeline.release(result)
+
+
+def read_stream_output(spark: "SparkSession", out_dir: str) -> "DataFrame":
+    """Read the batch-partitioned stream output back as one table."""
+    return spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    )
+
+
 def stream_kg(
     pages_stream: "DataFrame",
     concept_dict: "DataFrame",
@@ -54,22 +92,13 @@ def stream_kg(
     """Stream pages -> canonical triples, one micro-batch at a time.
 
     ``foreachBatch`` reuses the exact batch pipeline (run_kg), so streaming
-    and batch can never drift semantically; output appends parquet
-    partitioned the same way as the batch materializer.
+    and batch can never drift semantically; each micro-batch overwrites its
+    own ``batch={batch_id}`` partition (idempotent on replay — see module
+    docstring), laid out the same way as the batch materializer.
     """
 
     def process(batch_df: "DataFrame", batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        result = pipeline.run_kg(batch_df, concept_dict)
-        from . import graph
-
-        (
-            graph.salted(result["canonical_triples"], n_buckets=8, n_salts=4)
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-        pipeline.release(result)
+        process_kg_batch(batch_df, batch_id, concept_dict, out_dir)
 
     return (
         pages_stream.writeStream.foreachBatch(process)

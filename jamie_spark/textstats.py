@@ -129,14 +129,32 @@ def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
 
 
 def ngram_jaccard_pairs(
-    docs: "DataFrame", n: int = 3, threshold: float = 0.5
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> "DataFrame":
     """(doc_a, doc_b, jaccard) — near-dup pairs by word n-gram Jaccard.
 
-    Self-join on shingle values (inverted-index style) — at scale this is the
-    shuffle-heavy exact path; use :func:`minhash_pairs` first to shortlist.
+    Self-join on shingle values (inverted-index style). ``max_df`` caps the
+    posting-list length per shingle BEFORE the self-join: a boilerplate
+    shingle shared by k documents alone produces k^2/2 join rows (one
+    stopword-heavy trigram in 10^6 docs -> 10^12 rows), yet carries ~zero
+    dedup signal — dropping high-document-frequency shingles is the standard
+    guard (same role as stop-shingle filtering in MinHash pipelines). The
+    dropped shingles leave the Jaccard UNIVERSE too (denominators shrink
+    consistently), so the result is exact Jaccard over the filtered shingle
+    space. The DuckDB oracle applies the identical filter.
     """
     sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    # heavy shingles are by construction FEW (each needs > max_df distinct
+    # docs), so: partial-agg shuffle to find them, broadcast anti-join to
+    # drop them — never a full sort of the posting lists.
+    heavy = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.alias("a")

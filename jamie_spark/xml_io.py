@@ -82,6 +82,13 @@ def doc_to_xml(sentences: list[dict]) -> str:
     for (sid, tb, te, hb, he), labels in rels.items():
         if (tb, te) == (hb, he):
             continue  # DCT self-loops live in the attribute, not standoff
+        # A real model can anchor a relation on a token that is not span-final
+        # (detailed_triplets falls back to a single-token span); such spans
+        # were never assigned a tid. Skip them — mirroring mention_triplets'
+        # "drop non-span-final anchors" (reference data_objects.py:260) —
+        # instead of KeyError-ing the whole document group.
+        if (sid, tb, te) not in span2tid or (sid, hb, he) not in span2tid:
+            continue
         tail_tid, tail_tag = span2tid[(sid, tb, te)]
         head_tid, head_tag = span2tid[(sid, hb, he)]
         rel_tag = "trel" if "TIMEX3" in (tail_tag, head_tag) else "brel"

@@ -59,6 +59,26 @@ def test_stream_resume_no_duplicates(spark, staged_corpus, tmp_path):
     assert n1 == n2 > 0
 
 
+def test_replayed_micro_batch_is_idempotent(spark, staged_corpus, tmp_path):
+    """A crash between the sink write and the checkpoint commit replays the
+    micro-batch with the SAME batch_id; the batch-keyed overwrite sink must
+    absorb the replay without duplicating triples."""
+    _, pages = staged_corpus
+    concepts = fixtures.concept_df(spark)
+    out = str(tmp_path / "replay_out")
+
+    batch = pages.limit(20)
+    streaming.process_kg_batch(batch, 7, concepts, out)
+    n1 = streaming.read_stream_output(spark, out).count()
+    # simulate the foreachBatch replay after a pre-commit crash
+    streaming.process_kg_batch(batch, 7, concepts, out)
+    n2 = streaming.read_stream_output(spark, out).count()
+    assert n1 == n2 > 0
+    # a different batch_id appends (normal progress, not a replay)
+    streaming.process_kg_batch(batch, 8, concepts, out)
+    assert streaming.read_stream_output(spark, out).count() == 2 * n1
+
+
 def test_crawl_rate_watermarked_window(spark, staged_corpus, tmp_path):
     input_dir, pages = staged_corpus
     stream = streaming.read_page_stream(spark, input_dir)
