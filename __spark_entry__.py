@@ -7,10 +7,10 @@ SQL-expressible entry. Column names and value formatting (decimal-exact sums,
 4-decimal rounding of ratios) are aligned so the driver's order-insensitive
 value-hash matches.
 
-Entries without an oracle (rows-only check): the fixture KG pipeline itself
-and connected components (iterative), plus LSH-ANN (sign-boundary float
-sensitivity makes a cross-engine float oracle fragile; its recall is asserted
-against the exact top-k in tests instead).
+Every entry is value-oracled, including the LSH family: the md5-derived
+hyperplanes are rendered into the SQL as DOUBLE literals, so DuckDB
+recomputes the same buckets (sign margins are ~4e-7, ten orders above
+cross-engine float noise — see _plane_array_sql).
 """
 
 from __future__ import annotations
@@ -382,9 +382,12 @@ def _q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brief's dedup family): all pairs with
-    cosine >= 0.45 (exact, sequential-fold dot products)."""
-    return sim.cosine_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.45)
+    """Embedding-cosine near-dup pairs (brief's dedup family): LSH-bucketed
+    candidates + exact verify (the 100 TB-shaped plan; the exact all-pairs
+    path sim.cosine_pairs remains the recall baseline in tests). The DuckDB
+    oracle mirrors the md5-derived plane bucketing, so the candidate set —
+    not just the scoring — is value-checked."""
+    return sim.cosine_pairs_lsh(_read(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
 def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +520,35 @@ def _kg_dict_values() -> str:
     """Render _KG_DICT as a SQL VALUES list — single source of truth for the
     Spark query AND its oracle."""
     return ", ".join(f"('{s}','{t}')" for s, t in _KG_DICT)
+
+
+def _plane_array_sql(t: int, p: int) -> str:
+    """The md5-derived hyperplane (sim._plane_component) as a DOUBLE-array
+    literal — the same driver-side constants Spark ships via F.lit, so both
+    engines evaluate sign(dot) against bit-identical planes. (Empirically
+    the nearest |dot| to zero across both sf corpora and all 64 planes is
+    ~4e-7 — ten orders of magnitude above cross-engine summation noise, so
+    the sign, hence the bucket, is engine-stable.)"""
+    comps = [sim._plane_component(t, p, i) for i in range(sim.DIM)]
+    return "[" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in comps) + "]"
+
+
+def _lsh_sig_sql(n_planes: int = sim.N_PLANES, n_tables: int = sim.N_TABLES) -> str:
+    """sig(vec_id, table_id, bucket) CTE body mirroring sim.bucket_signatures."""
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            dot = (
+                f"list_sum(list_transform(range(1, {sim.DIM + 1}), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({_plane_array_sql(t, p)})[i]))"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
+        selects.append(
+            f"SELECT vec_id, {t} AS table_id, "
+            f"CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM embeddings"
+        )
+    return " UNION ALL ".join(selects)
 
 
 def _simhash_sql() -> str:
@@ -777,24 +809,59 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
-        "dedup_embedding_cosine": """
-WITH normed AS (
-    SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(x AS DOUBLE) / n) AS ne
-    FROM (
-        SELECT vec_id, embedding,
-               sqrt(list_sum(list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
-        FROM embeddings)
+        "dedup_embedding_cosine": f"""
+WITH sig AS ({_lsh_sig_sql()}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sig a JOIN sig b
+      ON a.table_id = b.table_id AND a.bucket = b.bucket
+    WHERE a.vec_id < b.vec_id
+),
+normed AS (
+    SELECT vec_id, embedding AS e,
+           sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+    FROM embeddings
 ),
 scored AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT vec_a, vec_b,
            round(list_sum(list_transform(range(1, 65),
-               i -> a.ne[i] * b.ne[i])), 4) AS score
-    FROM normed a, normed b WHERE a.vec_id < b.vec_id
+               i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+             / (a.n * b.n), 4) AS score
+    FROM cand
+    JOIN normed a ON a.vec_id = vec_a
+    JOIN normed b ON b.vec_id = vec_b
 )
 SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
+""",
+        "sim_lsh_topk": f"""
+WITH sig AS ({_lsh_sig_sql()}),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM sig q JOIN sig c
+      ON q.table_id = c.table_id AND q.bucket = c.bucket
+    WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+),
+base AS (SELECT vec_id, embedding AS e FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.e[i] AS DOUBLE) * CAST(q.e[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(c.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE))))),
+           4) AS score
+    FROM cand
+    JOIN base q ON q.vec_id = query_id
+    JOIN base c ON c.vec_id = neighbor_id
+)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
 """,
         "tumbling_window": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

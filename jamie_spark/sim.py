@@ -1,15 +1,39 @@
 """Similarity search over an embedding column (``array<float>``).
 
-* :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
-  Dot products run as a sequential left fold over the array
+* :func:`cosine_topk` / :func:`cosine_pairs` — brute-force exact paths: the
+  correctness baselines (and the recall yardstick for the LSH paths). Dot
+  products run as a sequential left fold over the array
   (``aggregate(zip_with(...))``) entirely JVM-side, so results are
   bit-identical to a sequential sum in any engine (the DuckDB oracle uses the
   same index-ordered formula).
-* :func:`lsh_topk` — random-hyperplane LSH bucketing: the scale path. Planes
-  are derived deterministically from md5 (no RNG, resume-safe); candidates
-  are restricted to the query's bucket, then scored exactly. At 10^12 rows
-  the bucket join replaces the cross join — recall is tunable via n_planes /
-  multi-probe.
+* :func:`cosine_pairs_lsh` / :func:`lsh_topk` — random-hyperplane LSH: the
+  registered scale paths. Planes are derived deterministically from md5 (no
+  RNG, resume-safe — and exactly reproducible in DuckDB, so both are
+  value-oracled). The plan shape is the one that survives 100 TB:
+
+  1. signatures: ``n_tables`` × ``n_planes`` sign bits per vector, all
+     JVM-side folds against literal plane arrays;
+  2. candidates: equi-join on (table_id, bucket) producing ID PAIRS ONLY —
+     embeddings are never carried through the candidate/dedup shuffles
+     (carrying two 64-float arrays through dropDuplicates was measured as
+     the round-1 bottleneck);
+  3. verify: attach embeddings once per deduped pair (query side broadcast
+     for top-k) and score exactly.
+
+  Recall is tuned by (n_planes, n_tables): OR-amplification over tables.
+  Defaults (4, 16) measure 0.90 top-5 recall / >=0.97 pair recall on the
+  sf0.01 and sf0.1 corpora (tests gate at 0.8). At larger corpora hold the
+  expected bucket size n/2^n_planes roughly constant: n_planes ~
+  log2(n / target_bucket) — see :func:`planes_for_corpus`.
+
+  Candidate-volume honesty: per-plane collision probability for a pair at
+  angle θ is 1 - θ/π, so how much LSH can prune at a given recall is set by
+  the THRESHOLD, not the corpus. At this module's test threshold 0.45
+  (θ≈63°, p≈0.65/plane) a 0.97-recall config still admits ~50-60% of all
+  pairs on the sandbox corpora — the win there is the plan SHAPE (bounded
+  buckets, id-only shuffles), which is what survives 10^12 rows. At real
+  dedup thresholds (0.9 ⇒ θ≈26°, p≈0.86/plane) the same machinery prunes
+  orders of magnitude.
 """
 
 from __future__ import annotations
@@ -50,27 +74,24 @@ def cosine_topk(
     Queries = the first ``n_queries`` vec_ids. Scores rounded to 4 decimals;
     rank ties break on neighbor_id (deterministic).
     """
-    base = embeddings.select("vec_id", "embedding")
-    q = (
-        base.where(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-        )
+    base = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("n")
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("n").alias("na"),
     )
     c = base.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("n").alias("nb"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                _dot("qe", "ce") / (_norm("qe") * _norm("ce")), 4
-            ).alias("score"),
-        )
+        .select("query_id", "neighbor_id", _pair_score().alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -85,39 +106,37 @@ def cosine_topk(
 def cosine_pairs(embeddings: "DataFrame", threshold: float = 0.45) -> "DataFrame":
     """(vec_a, vec_b, score) — embedding-cosine near-duplicate pairs.
 
-    Exact all-pairs path (the correctness baseline for embedding dedup);
-    at 10^12 rows the same scoring runs after LSH bucketing
-    (:func:`bucket_signatures`) restricts the candidate set.
+    Exact all-pairs path — the CORRECTNESS/RECALL BASELINE ONLY. The
+    registered dedup entry is :func:`cosine_pairs_lsh`; O(n^2) candidate
+    generation is a non-starter at corpus scale.
 
-    Vectors are L2-normalized ONCE per row before the cross join, so each
-    pair costs a single fold (dot) instead of three (dot + two norms) —
-    measured 3x on the all-pairs bench. The DuckDB oracle mirrors the
-    normalize-then-dot formula exactly (float ops are order-sensitive).
+    Scoring is ``dot(a, b) / (norm_a * norm_b)`` with the norms computed once
+    per VECTOR and carried as scalars — one fold per pair. (The tempting
+    normalize-the-array-first formulation costs 5 folds per pair in practice:
+    Catalyst collapses the normalization projection into the join output and
+    re-evaluates transform+norm for both sides of every pair — measured 100x
+    slower on the sf0.1 bench.) The DuckDB oracle mirrors the formula exactly.
     """
-    # norm as its own projection so the fold runs once per row — inlining it
-    # into the transform lambda would re-evaluate it per element
-    base = embeddings.select(
-        "vec_id", "embedding", _norm("embedding").alias("n")
-    ).select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double) / n)").alias("ne"),
-    )
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("qe"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("ce"))
+    a, b = (_with_norm(embeddings, f"vec_{s}") for s in ("a", "b"))
     return (
         a.crossJoin(F.broadcast(b))
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(_dot("qe", "ce"), 4).alias("score"),
-        )
+        .select("vec_a", "vec_b", _pair_score().alias("score"))
         .where(F.col("score") >= threshold)
     )
 
 
-N_PLANES = 3
-N_TABLES = 4
+N_PLANES = 4
+N_TABLES = 16
+
+
+def planes_for_corpus(n_rows: int, target_bucket: int = 200) -> int:
+    """Recommended n_planes so the expected bucket holds ~target_bucket
+    vectors: candidate volume per table is n * bucket_size, so keeping the
+    bucket bounded keeps the candidate join linear in corpus size."""
+    import math
+
+    return max(N_PLANES, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
 
 
 def _plane_component(table: int, p: int, i: int) -> float:
@@ -178,6 +197,68 @@ def bucket_signatures(
     )
 
 
+def candidate_pairs(
+    embeddings: "DataFrame",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> "DataFrame":
+    """(vec_a, vec_b) — deduped same-bucket candidate pairs, IDS ONLY.
+
+    The candidate/dedup shuffles move two longs per row — never the
+    embedding payloads. Downstream verification attaches embeddings exactly
+    once per surviving pair.
+    """
+    sig = bucket_signatures(embeddings, n_planes, n_tables)
+    return (
+        sig.alias("a")
+        .join(sig.alias("b"), ["table_id", "bucket"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+
+
+def _with_norm(embeddings: "DataFrame", id_alias: str) -> "DataFrame":
+    """(id_alias, qe|ce, na|nb) — embedding + precomputed scalar norm."""
+    side = "q" if id_alias.endswith("a") else "c"
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").alias(f"{side}e"),
+        _norm("embedding").alias(f"n{id_alias[-1]}"),
+    )
+
+
+def _pair_score() -> "F.Column":
+    """round(dot(qe, ce) / (na * nb), 4) — one fold per pair."""
+    return F.round(_dot("qe", "ce") / (F.col("na") * F.col("nb")), 4)
+
+
+def cosine_pairs_lsh(
+    embeddings: "DataFrame",
+    threshold: float = 0.45,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> "DataFrame":
+    """(vec_a, vec_b, score) — embedding near-dup pairs, LSH-bucketed.
+
+    The registered scale path for embedding dedup: same output contract and
+    scoring formula as :func:`cosine_pairs` restricted to LSH candidates
+    (pair recall >=0.97 at the test scales; tune n_planes/n_tables per
+    :func:`planes_for_corpus`). Candidates are id pairs; embeddings + scalar
+    norms attach once per deduped pair for the exact verify.
+    """
+    cand = candidate_pairs(embeddings, n_planes, n_tables)
+    a, b = (_with_norm(embeddings, f"vec_{s}") for s in ("a", "b"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", _pair_score().alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings: "DataFrame",
     n_queries: int = 10,
@@ -188,33 +269,41 @@ def lsh_topk(
     """(query_id, rank, neighbor_id, score) — ANN via same-bucket candidates
     unioned over ``n_tables`` hash tables, then scored exactly.
 
-    Approximate: recall < 1 vs :func:`cosine_topk` by construction; the test
-    asserts recall above a floor rather than equality.
+    Approximate: recall < 1 vs :func:`cosine_topk` by construction (tests
+    gate recall at 0.8). Plan shape: candidate ids dedup first (no embedding
+    payloads in the shuffle), then ONE join attaches neighbor embeddings and
+    the tiny query side arrives by broadcast.
     """
     sig = bucket_signatures(embeddings, n_planes, n_tables)
-    base = embeddings.select("vec_id", "embedding").join(sig, "vec_id")
-    q = base.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        "table_id",
-        "bucket",
+    qsig = sig.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "table_id", "bucket"
     )
-    c = base.select(
+    cand = (
+        qsig.join(sig.withColumnRenamed("vec_id", "neighbor_id"),
+                  ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    base = embeddings.select(
+        "vec_id", "embedding", _norm("embedding").alias("n")
+    )
+    q_emb = F.broadcast(
+        base.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("n").alias("na"),
+        )
+    )
+    n_emb = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        "table_id",
-        "bucket",
+        F.col("n").alias("nb"),
     )
     scored = (
-        q.join(c, ["table_id", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qe", "ce")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot("qe", "ce") / (_norm("qe") * _norm("ce")), 4).alias("score"),
-        )
+        cand.join(n_emb, "neighbor_id")
+        .join(q_emb, "query_id")
+        .select("query_id", "neighbor_id", _pair_score().alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

@@ -63,6 +63,28 @@ def test_minhash_band_join_no_python(spark):
     assert "Python" not in plan and "ArrowEval" not in plan
 
 
+def test_lsh_candidate_shuffles_carry_ids_only(spark):
+    """The LSH candidate-dedup exchanges must move id pairs, never the
+    64-float embedding payloads (the round-1 scale-killer: embeddings were
+    duplicated x n_tables and dragged through dropDuplicates)."""
+    from jamie_spark import sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) / 7] * sim.DIM) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    for df in (
+        sim.candidate_pairs(emb),
+        sim.lsh_topk(emb, n_queries=3, k=2),
+    ):
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "embedding" not in line and ", qe" not in line and (
+                    ", ce" not in line
+                ), f"embedding payload in shuffle: {line.strip()}"
+
+
 def test_whole_stage_codegen_in_quality_scores(spark):
     """The quality-score plan stays JVM-side with codegen spans (the `*(n)`
     markers); higher-order lambda expressions run interpreted but still in
