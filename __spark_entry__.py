@@ -176,6 +176,37 @@ def _e2_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _e3_rel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 strict-span relation eval (reference clinical_eval.py:140-143)
+    through the engine's per_label_counts core: gold = the dictionary-window
+    triples keyed by BOTH entity spans; pred = gold with a deterministic
+    perturbation (dropped triples -> fns, span-end shifts -> paired fp+fn,
+    which the mention-string eval would NOT catch — that is the point of the
+    strict variant)."""
+    t = _kg_triples_window(spark, sf_dir)
+    gold = t.select(
+        "doc_id",
+        F.col("pos_a").alias("tail_begin"),
+        (F.col("pos_a") + 1).alias("tail_end"),
+        F.col("pos_b").alias("head_begin"),
+        (F.col("pos_b") + 1).alias("head_end"),
+        "subj",
+    )
+    dropped = (F.col("doc_id") % 7 == 0) & (F.col("tail_begin") % 2 == 0)
+    pred = gold.where(~dropped).withColumn(
+        "head_end",
+        F.col("head_end")
+        + F.when(F.col("doc_id") % 11 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    keys = ["doc_id", "tail_begin", "tail_end", "head_begin", "head_end"]
+    return jeval.per_label_counts(gold, pred, keys, "subj").select(
+        "label",
+        F.col("tps").cast("long").alias("tps"),
+        F.col("fps").cast("long").alias("fps"),
+        F.col("fns").cast("long").alias("fns"),
+    )
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary; decimal-exact sums cast to double."""
     li = _read(spark, sf_dir, "lineitem")
@@ -458,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
+        "e3_rel_strict": _e3_rel_strict,
         # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
@@ -710,6 +742,47 @@ WITH g AS (
            COALESCE(gc, 0) AS gc, COALESCE(pc, 0) AS pc
     FROM g FULL OUTER JOIN p
       ON g.user_id = p.user_id AND g.event_type = p.event_type
+)
+SELECT label,
+       CAST(SUM(LEAST(gc, pc)) AS BIGINT) AS tps,
+       CAST(SUM(pc - LEAST(gc, pc)) AS BIGINT) AS fps,
+       CAST(SUM(gc - LEAST(gc, pc)) AS BIGINT) AS fns
+FROM j GROUP BY label
+""",
+        "e3_rel_strict": f"""
+WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
+words AS (
+    SELECT doc_id, unnest(ws) AS surface,
+           CAST(generate_subscripts(ws, 1) AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+m AS (SELECT w.doc_id, w.pos, w.surface, d.tag
+      FROM words w JOIN dict d ON w.surface = d.surface),
+gold AS (
+    SELECT a.doc_id, a.pos AS tail_begin, a.pos + 1 AS tail_end,
+           b.pos AS head_begin, b.pos + 1 AS head_end, a.surface AS subj
+    FROM m a JOIN m b ON a.doc_id = b.doc_id
+    WHERE a.tag = 'op' AND b.tag = 'obj'
+      AND b.pos > a.pos AND b.pos - a.pos <= 3
+),
+pred AS (
+    SELECT doc_id, tail_begin, tail_end, head_begin,
+           head_end + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS head_end,
+           subj
+    FROM gold
+    WHERE NOT (doc_id % 7 = 0 AND tail_begin % 2 = 0)
+),
+g AS (SELECT subj, doc_id, tail_begin, tail_end, head_begin, head_end,
+             COUNT(*) AS gc FROM gold GROUP BY ALL),
+p AS (SELECT subj, doc_id, tail_begin, tail_end, head_begin, head_end,
+             COUNT(*) AS pc FROM pred GROUP BY ALL),
+j AS (
+    SELECT COALESCE(g.subj, p.subj) AS label,
+           COALESCE(gc, 0) AS gc, COALESCE(pc, 0) AS pc
+    FROM g FULL OUTER JOIN p
+      ON g.subj = p.subj AND g.doc_id = p.doc_id
+     AND g.tail_begin = p.tail_begin AND g.tail_end = p.tail_end
+     AND g.head_begin = p.head_begin AND g.head_end = p.head_end
 )
 SELECT label,
        CAST(SUM(LEAST(gc, pc)) AS BIGINT) AS tps,

@@ -153,3 +153,65 @@ def eval_triples(gold_triples: "DataFrame", pred_triples: "DataFrame") -> dict:
         cols,
         "pred",
     )
+
+
+def eval_rel_strict(gold_detailed: "DataFrame", pred_detailed: "DataFrame") -> dict:
+    """STRICT relation eval: tuple = (url, sent_id, tail span, head span,
+    rel) — reference ``eval_rel`` clinical_eval.py:140-143 over
+    ``update_rel_detailed_triplets`` data_objects.py:240-249. The strictest
+    (safest) acceptance gate: a relation only counts if BOTH entity spans
+    match exactly, so same-surface entities at different positions never
+    cross-credit (they do under the mention-string eval).
+
+    Inputs come from :func:`jamie_spark.mentions.detailed_triples` (pred) or
+    a gold-side join of relations onto mention spans.
+
+    Note: the reference quirk of sharing one TupleEvaluator instance between
+    eval_rel and eval_rel_relax (counts accumulate if both are called on the
+    same MhsEvaluator) is NOT reproduced — each eval here is independent.
+    """
+    cols = ["url", "sent_id", "tail_begin", "tail_end", "head_begin", "head_end"]
+    return prf_summary(
+        gold_detailed.select(*cols, "rel"),
+        pred_detailed.select(*cols, "rel"),
+        cols,
+        "rel",
+    )
+
+
+def eval_rel_relax(gold_tok: "DataFrame", pred_tok: "DataFrame") -> dict:
+    """RELAXED relation eval: tuple = (url, sent_id, tail token id, head
+    token id, rel) — reference ``eval_rel_relax`` clinical_eval.py:135-138
+    over ``update_rel_triplets`` data_objects.py:231-238. Credits the anchor
+    tokens regardless of predicted span boundaries.
+
+    Inputs come from :func:`jamie_spark.mentions.rel_token_triples`.
+    """
+    cols = ["url", "sent_id", "tail_id", "head_id"]
+    return prf_summary(
+        gold_tok.select(*cols, "rel"),
+        pred_tok.select(*cols, "rel"),
+        cols,
+        "rel",
+    )
+
+
+def mhs_eval(gold_ann: "DataFrame", pred_ann: "DataFrame") -> dict:
+    """The full E3 battery over two annotation tables (MhsEvaluator,
+    reference clinical_eval.py:111-149): ner, mod, rel_strict, rel_relax,
+    rel_mention — each an independent multiset P/R/F1."""
+    from . import mentions as m
+
+    out = eval_mentions(
+        m.mentions_from_annotations(gold_ann), m.mentions_from_annotations(pred_ann)
+    )
+    out["rel_strict"] = eval_rel_strict(
+        m.detailed_triples(gold_ann), m.detailed_triples(pred_ann)
+    )
+    out["rel_relax"] = eval_rel_relax(
+        m.rel_token_triples(gold_ann), m.rel_token_triples(pred_ann)
+    )
+    out["rel_mention"] = eval_triples(
+        m.triples_from_annotations(gold_ann), m.triples_from_annotations(pred_ann)
+    )
+    return out
