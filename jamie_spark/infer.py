@@ -35,14 +35,19 @@ from pyspark.sql import functions as F
 
 from .standin import MODEL_VERSION
 from .subword import MAX_SUBWORDS, tokenize_subwords
-from .textnorm import extract_text, zen_to_han
-from .tokenizer import TOKENIZER_VERSION, split_sentences, tokenize
+from .textnorm import SEP, extract_text, zen_to_han
+from .tokenizer import (
+    TOKENIZER_VERSION,
+    chunk_sentences,
+    split_sentences,
+    tokenize,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
 ANNOTATIONS_DDL = (
-    "url string, sent_id int, tokens array<string>, "
+    "url string, sent_id int, chunk_id int, tokens array<string>, "
     "ner array<string>, mod array<string>, "
     "rels array<array<string>>, heads array<array<int>>, "
     "entities array<struct<tag:string, begin:int, end:int, mod:string, "
@@ -76,74 +81,120 @@ def _over_length(toks: list[str], subword_vocab: set[str] | None) -> bool:
     return False
 
 
-def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from .bio import bio_to_spans, rel_triplets
+def _doc_units(body: str, mode: str, vocab: set[str] | None):
+    """One document -> (sent_id, chunk_id, tokens) annotation units.
 
-    tagger = _get_tagger()
-    vocab = getattr(tagger, "subword_vocab", None)
-    for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "url", "sent_id", "tokens", "ner", "mod", "rels", "heads",
-            "entities", "triples",
-        )}
-        for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
-            try:
-                body = text if text else extract_text(html)
-                body = zen_to_han(body)
-                for sent_id, sentence in enumerate(split_sentences(body)):
-                    toks = tokenize(sentence)
-                    if _over_length(toks, vocab):
-                        continue  # T12 gate (reference utils.py:826-842)
-                    ner, mod, rels, heads = tagger.annotate_sentence(toks)
-                    spans = bio_to_spans(ner)
-                    entities = [
-                        {
-                            "tag": tag,
-                            "begin": b,
-                            "end": e,
-                            "mod": mod[e - 1],
-                            "surface": "".join(toks[b:e]),
-                        }
-                        for tag, b, e in spans
-                    ]
-                    last = {e - 1: (tag, b, e) for tag, b, e in spans}
-                    triples = []
-                    for tail_id, head_id, rel in rel_triplets(rels, heads):
-                        if tail_id in last and head_id in last:
-                            tt, tb, te = last[tail_id]
-                            ht, hb, he = last[head_id]
-                            triples.append(
-                                {
-                                    "tail_surface": "".join(toks[tb:te]),
-                                    "head_surface": "".join(toks[hb:he]),
-                                    "rel": rel,
-                                    "tail_tag": tt,
-                                    "head_tag": ht,
-                                    "tail_mod": mod[te - 1],
-                                }
-                            )
-                    out["url"].append(url)
-                    out["sent_id"].append(sent_id)
-                    out["tokens"].append(toks)
-                    out["ner"].append(ner)
-                    out["mod"].append(mod)
-                    out["rels"].append(rels)
-                    out["heads"].append(heads)
-                    out["entities"].append(entities)
-                    out["triples"].append(triples)
-            except Exception:
-                # per-row error isolation (reference utils.py:844-846): one bad
-                # page must never kill the job; it simply yields no sentences.
-                continue
-        if out["url"]:
-            # never yield an empty frame: pandas types empty columns float64,
-            # which Arrow cannot convert to list<string> (found by probing an
-            # all-garbage partition).
-            yield pd.DataFrame(out)
+    ``mode="sentence"`` (the hot-path default): one unit per sentence,
+    chunk_id == sent_id.
+
+    ``mode="document"``: the reference's doc-level trunk mode — sentences
+    greedily packed into <= MAX_SUBWORDS trunks (``chunk_sentences``,
+    reference utils.py:700-722) and joined with the in-band ``[SEP]`` token
+    (utils.py:722; decoded back to newline on emit, data_objects.py:210).
+    One unit per trunk; sent_id = the trunk's FIRST sentence; the extractor
+    sees the whole trunk, so relations may cross sentence boundaries —
+    exactly the reference's document-level semantics. Each sentence costs
+    len(tokens)+1 in the packing (the joining separator unit — word-level
+    stand-in accounting; the torch provider measures subwords, same
+    approximation direction as the T12 pre-gate).
+    """
+    sent_toks = [tokenize(s) for s in split_sentences(body)]
+    if mode == "sentence":
+        for sid, toks in enumerate(sent_toks):
+            if not _over_length(toks, vocab):
+                yield sid, sid, toks
+        return
+    if mode != "document":
+        raise ValueError(f"unknown annotate mode: {mode!r}")
+    lens = [len(t) + 1 for t in sent_toks]
+    for cid, (a, b) in enumerate(chunk_sentences(lens, MAX_SUBWORDS)):
+        toks: list[str] = []
+        for t in sent_toks[a:b]:
+            if toks:
+                toks.append(SEP)
+            toks.extend(t)
+        if not _over_length(toks, vocab):
+            yield a, cid, toks
 
 
-def annotate_pages(pages: "DataFrame", lang: str = "ja") -> "DataFrame":
-    """pages -> per-sentence annotations (the M1 stage, full nested output).
+def _make_annotate_batches(mode: str):
+    def _annotate_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from .bio import bio_to_spans, rel_triplets
+
+        tagger = _get_tagger()
+        vocab = getattr(tagger, "subword_vocab", None)
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "url", "sent_id", "chunk_id", "tokens", "ner", "mod", "rels",
+                "heads", "entities", "triples",
+            )}
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                try:
+                    body = text if text else extract_text(html)
+                    body = zen_to_han(body)
+                    for sent_id, chunk_id, toks in _doc_units(body, mode, vocab):
+                        ner, mod, rels, heads = tagger.annotate_sentence(toks)
+                        spans = bio_to_spans(ner)
+                        entities = [
+                            {
+                                "tag": tag,
+                                "begin": b,
+                                "end": e,
+                                "mod": mod[e - 1],
+                                "surface": "".join(toks[b:e]),
+                            }
+                            for tag, b, e in spans
+                        ]
+                        last = {e - 1: (tag, b, e) for tag, b, e in spans}
+                        triples = []
+                        for tail_id, head_id, rel in rel_triplets(rels, heads):
+                            if tail_id in last and head_id in last:
+                                tt, tb, te = last[tail_id]
+                                ht, hb, he = last[head_id]
+                                triples.append(
+                                    {
+                                        "tail_surface": "".join(toks[tb:te]),
+                                        "head_surface": "".join(toks[hb:he]),
+                                        "rel": rel,
+                                        "tail_tag": tt,
+                                        "head_tag": ht,
+                                        "tail_mod": mod[te - 1],
+                                    }
+                                )
+                        out["url"].append(url)
+                        out["sent_id"].append(sent_id)
+                        out["chunk_id"].append(chunk_id)
+                        out["tokens"].append(toks)
+                        out["ner"].append(ner)
+                        out["mod"].append(mod)
+                        out["rels"].append(rels)
+                        out["heads"].append(heads)
+                        out["entities"].append(entities)
+                        out["triples"].append(triples)
+                except Exception:
+                    # per-row error isolation (reference utils.py:844-846): one
+                    # bad page must never kill the job; it yields no sentences.
+                    continue
+            if out["url"]:
+                # never yield an empty frame: pandas types empty columns
+                # float64, which Arrow cannot convert to list<string> (found
+                # by probing an all-garbage partition).
+                yield pd.DataFrame(out)
+
+    return _annotate_batches
+
+
+def annotate_pages(
+    pages: "DataFrame", lang: str = "ja", mode: str = "sentence"
+) -> "DataFrame":
+    """pages -> per-unit annotations (the M1 stage, full nested output).
+
+    ``mode="sentence"``: one row per sentence (chunk_id == sent_id).
+    ``mode="document"``: the reference's doc-level trunk mode — one row per
+    <=510-token trunk of [SEP]-joined sentences (see :func:`_doc_units`),
+    giving the extractor cross-sentence context.
 
     The ``lang`` filter sits on a plain column before ``mapInPandas`` so it is
     pushed into the scan (verify: ``.explain`` shows PushedFilters on lang).
@@ -156,80 +207,90 @@ def annotate_pages(pages: "DataFrame", lang: str = "ja") -> "DataFrame":
     flat Arrow-native stage and throttled scaling.
     """
     filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
-    return filtered.mapInPandas(_annotate_batches, schema=ANNOTATIONS_DDL)
+    return filtered.mapInPandas(
+        _make_annotate_batches(mode), schema=ANNOTATIONS_DDL
+    )
 
 
 # --- flat Arrow-native hot path ---------------------------------------------
 
 FLAT_DDL = (
-    "url string, sent_id int, kind string, tag string, begin int, end int, "
+    "url string, sent_id int, chunk_id int, kind string, tag string, "
+    "begin int, end int, "
     "mod string, surface string, obj_surface string, obj_tag string, rel string"
 )
 
 
-def _flat_arrow_batches(batches):
-    """pages Arrow batches -> flat mention/triple rows as Arrow batches.
+def _make_flat_arrow_batches(mode: str):
+    def _flat_arrow_batches(batches):
+        """pages Arrow batches -> flat mention/triple rows as Arrow batches.
 
-    One output row per mention (kind='m') or triple (kind='t') — primitives
-    only, built straight into ``pyarrow`` arrays. No pandas object columns,
-    no nested types: this is what lets the stage scale linearly with python
-    workers (nested struct conversion measured as the bottleneck at 1M docs).
-    """
-    import pyarrow as pa
+        One output row per mention (kind='m') or triple (kind='t') —
+        primitives only, built straight into ``pyarrow`` arrays. No pandas
+        object columns, no nested types: this is what lets the stage scale
+        linearly with python workers (nested struct conversion measured as
+        the bottleneck at 1M docs).
+        """
+        import pyarrow as pa
 
-    from .bio import bio_to_spans, rel_triplets
+        from .bio import bio_to_spans, rel_triplets
 
-    tagger = _get_tagger()
-    vocab = getattr(tagger, "subword_vocab", None)
-    names = (
-        "url", "sent_id", "kind", "tag", "begin", "end", "mod",
-        "surface", "obj_surface", "obj_tag", "rel",
-    )
-    types = {
-        "sent_id": pa.int32(), "begin": pa.int32(), "end": pa.int32(),
-    }
-    for rb in batches:
-        d = rb.to_pydict()
-        cols: dict[str, list] = {k: [] for k in names}
-        add = [cols[k].append for k in names]
-        for url, html, text in zip(d["url"], d["html"], d["text"]):
-            try:
-                body = text if text else extract_text(html)
-                body = zen_to_han(body)
-                for sid, sent in enumerate(split_sentences(body)):
-                    toks = tokenize(sent)
-                    if _over_length(toks, vocab):
-                        continue  # T12 gate (reference utils.py:826-842)
-                    ner, mod, rels, heads = tagger.annotate_sentence(toks)
-                    spans = bio_to_spans(ner)
-                    last = {e - 1: (t, b, e) for t, b, e in spans}
-                    for t, b, e in spans:
-                        vals = (url, sid, "m", t, b, e, mod[e - 1],
-                                "".join(toks[b:e]), None, None, None)
-                        for f, v in zip(add, vals):
-                            f(v)
-                    for ti, hi, rel in rel_triplets(rels, heads):
-                        if ti in last and hi in last:
-                            tt, tb, te = last[ti]
-                            ht, hb, he = last[hi]
-                            vals = (url, sid, "t", tt, tb, te, mod[te - 1],
-                                    "".join(toks[tb:te]), "".join(toks[hb:he]),
-                                    ht, rel)
+        tagger = _get_tagger()
+        vocab = getattr(tagger, "subword_vocab", None)
+        names = (
+            "url", "sent_id", "chunk_id", "kind", "tag", "begin", "end",
+            "mod", "surface", "obj_surface", "obj_tag", "rel",
+        )
+        types = {
+            "sent_id": pa.int32(), "chunk_id": pa.int32(),
+            "begin": pa.int32(), "end": pa.int32(),
+        }
+        for rb in batches:
+            d = rb.to_pydict()
+            cols: dict[str, list] = {k: [] for k in names}
+            add = [cols[k].append for k in names]
+            for url, html, text in zip(d["url"], d["html"], d["text"]):
+                try:
+                    body = text if text else extract_text(html)
+                    body = zen_to_han(body)
+                    for sid, cid, toks in _doc_units(body, mode, vocab):
+                        ner, mod, rels, heads = tagger.annotate_sentence(toks)
+                        spans = bio_to_spans(ner)
+                        last = {e - 1: (t, b, e) for t, b, e in spans}
+                        for t, b, e in spans:
+                            vals = (url, sid, cid, "m", t, b, e, mod[e - 1],
+                                    "".join(toks[b:e]), None, None, None)
                             for f, v in zip(add, vals):
                                 f(v)
-            except Exception:
-                # per-row error isolation (reference utils.py:844-846)
-                continue
-        if cols["url"]:
-            yield pa.RecordBatch.from_pydict(
-                {k: pa.array(cols[k], types.get(k, pa.string())) for k in names}
-            )
+                        for ti, hi, rel in rel_triplets(rels, heads):
+                            if ti in last and hi in last:
+                                tt, tb, te = last[ti]
+                                ht, hb, he = last[hi]
+                                vals = (url, sid, cid, "t", tt, tb, te,
+                                        mod[te - 1], "".join(toks[tb:te]),
+                                        "".join(toks[hb:he]), ht, rel)
+                                for f, v in zip(add, vals):
+                                    f(v)
+                except Exception:
+                    # per-row error isolation (reference utils.py:844-846)
+                    continue
+            if cols["url"]:
+                yield pa.RecordBatch.from_pydict(
+                    {k: pa.array(cols[k], types.get(k, pa.string()))
+                     for k in names}
+                )
+
+    return _flat_arrow_batches
 
 
-def annotate_pages_flat(pages: "DataFrame", lang: str = "ja") -> "DataFrame":
-    """pages -> flat mention/triple rows (production hot path, mapInArrow)."""
+def annotate_pages_flat(
+    pages: "DataFrame", lang: str = "ja", mode: str = "sentence"
+) -> "DataFrame":
+    """pages -> flat mention/triple rows (production hot path, mapInArrow).
+
+    ``mode`` as in :func:`annotate_pages`."""
     filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
-    return filtered.mapInArrow(_flat_arrow_batches, schema=FLAT_DDL)
+    return filtered.mapInArrow(_make_flat_arrow_batches(mode), schema=FLAT_DDL)
 
 
 def extraction_only(pages: "DataFrame") -> "DataFrame":

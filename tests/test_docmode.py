@@ -1,0 +1,139 @@
+"""Document-level trunk mode (T11, reference utils.py:700-722): greedy
+[SEP]-joined chunks through the annotate stages, with CONLL/XML round-trip
+parity and sentence-mode equivalence on single-sentence documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jamie_spark import conll, fixtures, infer, xml_io
+from jamie_spark.textnorm import SEP, zen_to_han
+from jamie_spark.tokenizer import split_sentences, tokenize
+
+SINGLE_SENTS = [
+    "昨日、左肺に肺癌を認める。",
+    "アスピリンを投与した。",
+    "血圧は120mmHgであった。",
+]
+MULTI_TEXT = "昨日、左肺に肺癌を認める。\nアスピリンを投与した。\n血圧は120mmHgであった。"
+
+
+def _pages(spark, texts):
+    rows = [
+        (f"https://t/{i}", None, None, t, "ja") for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(rows, fixtures.PAGES_DDL)
+
+
+def test_document_mode_equals_sentence_mode_on_single_sentence_docs(spark):
+    pages = _pages(spark, SINGLE_SENTS)
+    cols = None
+    sent = infer.annotate_pages(pages, mode="sentence")
+    doc = infer.annotate_pages(pages, mode="document")
+    cols = [c for c in sent.columns]
+    a = sent.select(*cols).collect()
+    b = doc.select(*cols).collect()
+    key = lambda r: (r["url"], r["sent_id"])  # noqa: E731
+    assert sorted(map(lambda r: r.asDict(True), a), key=key) == sorted(
+        map(lambda r: r.asDict(True), b), key=key
+    )
+    # flat path too
+    fa = infer.annotate_pages_flat(pages, mode="sentence").collect()
+    fb = infer.annotate_pages_flat(pages, mode="document").collect()
+    assert sorted(map(tuple, fa)) == sorted(map(tuple, fb))
+
+
+def test_document_mode_packs_sentences_with_sep(spark):
+    """A 3-sentence doc that fits one trunk -> ONE chunk row with two in-band
+    [SEP] tokens at the sentence boundaries, tagged O, and cross-sentence
+    context visible to the extractor."""
+    pages = _pages(spark, [MULTI_TEXT])
+    rows = infer.annotate_pages(pages, mode="document").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["chunk_id"] == 0 and r["sent_id"] == 0
+    toks = list(r["tokens"])
+    assert toks.count(SEP) == 2
+    for i, t in enumerate(toks):
+        if t == SEP:
+            assert r["ner"][i] == "O" and r["mod"][i] == "_"
+    # doc-level semantics: the disease in sentence 0 now relates to entities
+    # of later sentences only through the rules, but the key structural
+    # check is that spans from all three sentences are present in one row
+    tags = {e["tag"] for e in r["entities"]}
+    assert {"d", "a", "r", "TIMEX3", "t-key", "t-val"} <= tags
+
+
+def test_document_mode_chunk_boundaries(spark):
+    """Sentences that cannot fit one trunk split at sentence boundaries; all
+    sentences are covered exactly once and no chunk exceeds the limit."""
+    # 60 sentences x ~12 tokens ~= 720 units > 510 -> must split
+    text = "\n".join("昨日、左肺に肺癌を認める。" for _ in range(60))
+    pages = _pages(spark, [text])
+    rows = sorted(
+        infer.annotate_pages(pages, mode="document").collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert len(rows) >= 2
+    n_sents = sum(list(r["tokens"]).count(SEP) + 1 for r in rows)
+    assert n_sents == 60
+    for r in rows:
+        assert len(r["tokens"]) <= 510
+    # chunk sent_id = first sentence of the chunk: strictly increasing,
+    # first chunk starts at 0
+    sids = [r["sent_id"] for r in rows]
+    assert sids[0] == 0 and sids == sorted(sids)
+
+
+@pytest.fixture(scope="module")
+def doc_ann(spark):
+    pages = fixtures.pages_df(spark, 40, seed=42)
+    return infer.annotate_pages(pages, mode="document").cache()
+
+
+def test_conll_round_trip_doc_mode(spark, doc_ann):
+    """CONLL writer/reader round-trips doc-mode rows verbatim, [SEP] kept
+    in-band (reference utils.py:722)."""
+    docs = conll.annotations_to_conll(doc_ann).collect()
+    ann_rows = {
+        (r["url"], r["sent_id"]): r for r in doc_ann.collect()
+    }
+    n_checked = 0
+    for doc in docs:
+        for row in conll.parse_conll(doc["conll"]):
+            ref = ann_rows[(row["url"], row["sent_id"])]
+            assert row["tokens"] == list(ref["tokens"])
+            assert row["ner"] == list(ref["ner"])
+            assert row["mod"] == list(ref["mod"])
+            n_checked += 1
+    assert n_checked == len(ann_rows)
+
+
+def test_xml_round_trip_doc_mode(spark, doc_ann):
+    """XML emit decodes [SEP] -> newline (reference data_objects.py:210):
+    stripping tags from the emitted XML reproduces the original sentences,
+    and parsed mentions match the annotations."""
+    xml_df = xml_io.annotations_to_xml(doc_ann).collect()
+    pages = {
+        r["url"]: r["text"]
+        for r in fixtures.pages_df(spark, 40, seed=42).collect()
+        if r["lang"] == "ja"
+    }
+    import re
+
+    tag_re = re.compile(r"<[^>]+>")
+    for r in xml_df:
+        mentions, _ = xml_io.parse_xml_doc(r["xml"])
+        text_lines = [
+            tag_re.sub("", line)
+            for line in r["xml"].strip().split("\n")
+            if not line.startswith(("<brel", "<trel"))
+        ]
+        expected = split_sentences(zen_to_han(pages[r["url"]]))
+        assert text_lines == expected, r["url"]
+        # every annotated entity surface appears among parsed mentions
+        got = sorted(m["surface"] for m in mentions)
+        ann = doc_ann.where(F.col("url") == r["url"]).collect()
+        want = sorted(
+            e["surface"] for row in ann for e in row["entities"]
+        )
+        assert got == want, r["url"]

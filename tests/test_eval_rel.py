@@ -78,7 +78,7 @@ def _ann_df(spark, rows):
 
 def _sent(url, rels, heads, ner, tokens, entities, triples):
     return {
-        "url": url, "sent_id": 0, "tokens": tokens, "ner": ner,
+        "url": url, "sent_id": 0, "chunk_id": 0, "tokens": tokens, "ner": ner,
         "mod": ["_"] * len(tokens), "rels": rels, "heads": heads,
         "entities": entities, "triples": triples,
     }
