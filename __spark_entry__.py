@@ -554,6 +554,239 @@ def _kg_dict_values() -> str:
     return ", ".join(f"('{s}','{t}')" for s, t in _KG_DICT)
 
 
+def _concept_edge_values() -> str:
+    """The fixture alias graph (alias <-> concept_id edges) as VALUES —
+    rendered from jamie_spark.concepts, the same single source of truth the
+    Spark entry reads via fixtures.concept_df."""
+    from jamie_spark import concepts as _concepts
+
+    edges = sorted({(r["alias"], r["concept_id"]) for r in _concepts.concept_rows()})
+    return ", ".join(f"('{a}', '{c}')" for a, c in edges)
+
+
+def _cc_ctes() -> str:
+    """Connected-components CTE chain over the alias graph: recursive
+    reachability, comp(v) = min reachable vertex (UTF-8 binary MIN in both
+    engines — matching the engine's union-find / min-label-propagation
+    semantics exactly), then min-concept_id canonicalization. Yields the CTE
+    ``canon_map(concept_id, canonical_id)``; must follow a WITH RECURSIVE."""
+    return f"""
+edges(src, dst) AS (VALUES {_concept_edge_values()}),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(v, u) AS (
+    SELECT src, src FROM und
+    UNION
+    SELECT r.v, u.dst FROM reach r JOIN und u ON r.u = u.src
+),
+comp AS (SELECT v, MIN(u) AS component FROM reach GROUP BY v),
+concept_comp AS (
+    SELECT DISTINCT e.dst AS concept_id, c.component
+    FROM edges e JOIN comp c ON c.v = e.dst
+),
+canon AS (
+    SELECT component, MIN(concept_id) AS canonical_id
+    FROM concept_comp GROUP BY component
+),
+canon_map AS (
+    SELECT concept_id, canonical_id FROM concept_comp JOIN canon USING (component)
+)"""
+
+
+def _canon_cc_sql() -> str:
+    return f"""
+WITH RECURSIVE {_cc_ctes().strip()}
+SELECT concept_id, canonical_id FROM canon_map
+"""
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+#: the pinned tokenizer grammar (jamie_spark.tokenizer._char_class) as an RE2
+#: alternation: maximal runs of kanji(+々) / hiragana / katakana / ASCII
+#: alnum+dot, any other char alone. Verified token-for-token identical to
+#: tokenizer.tokenize on the fixture grammar (tests/test_entry oracle gate).
+_TOK_PATTERN = (
+    r"[\x{4E00}-\x{9FFF}\x{3005}]+|[\x{3040}-\x{309F}]+"
+    r"|[\x{30A0}-\x{30FF}]+|[A-Za-z0-9.]+|."
+)
+#: split_sentences: delimiter kept with the sentence, remainder as tail
+_SENT_PATTERN = "[^。！？]*[。！？]|[^。！？]+"
+
+
+def _grams_sql(col: str) -> str:
+    """link._with_grams in DuckDB: distinct char {1,2}-grams (bigram index
+    capped at greatest(len-1, 1), exactly like the Spark sequence bounds)."""
+    return (
+        "list_distinct(list_concat("
+        f"list_transform(range(1, greatest(length({col}), 1) + 1),"
+        f" i -> substring({col}, CAST(i AS INT), 1)), "
+        f"list_transform(range(1, greatest(length({col}) - 1, 1) + 1),"
+        f" i -> substring({col}, CAST(i AS INT), 2))))"
+    )
+
+
+def _kg_pipeline_oracle_sql(n_docs: int = 150, seed: int = 42) -> str:
+    """The ENTIRE fixture KG pipeline re-expressed in DuckDB SQL: sentence
+    split + pinned tokenizer (as RE2), greedy dictionary NER, the stand-in
+    relation grammar, sem_type-restricted exact+Dice linking with top-1
+    rerank, connected-component canonicalization. Only the INPUT corpus is
+    inlined (VALUES rendered from the same deterministic generator the Spark
+    entry calls); every transformation is computed by DuckDB.
+
+    Greedy-NER note: the Spark stand-in advances past each longest match;
+    the SQL keeps the longest match AT EACH POSITION. These coincide exactly
+    when no dictionary match starts inside another — guaranteed by the
+    fixture template grammar (slots are separated by literals) and enforced
+    empirically by this oracle being value-exact.
+    """
+    from jamie_spark import concepts as _c
+    from jamie_spark.textnorm import zen_to_han as _z2h
+    from jamie_spark.tokenizer import tokenize as _tok
+
+    pages, _, _, _ = fixtures.gen_corpus(n_docs, seed)
+    page_vals = ", ".join(
+        f"({_sql_str(p['url'])}, {_sql_str(p['text'])}, '{p['lang']}')"
+        for p in pages
+    )
+    dict_vals = []
+    for surface, tag in _c.surface_tag_pairs():
+        toks = _tok(surface)
+        toklist = "[" + ", ".join(_sql_str(t) for t in toks) + "]"
+        dict_vals.append(
+            f"('{tag}', {_sql_str(surface)}, {toklist}, {len(toks)})"
+        )
+    sem_vals = ", ".join(f"('{t}', '{n}')" for t, n in _c.TAG2NAME.items())
+    dic_rows = sorted(
+        {
+            (r["concept_id"], _z2h(r["alias"]), r["sem_type"])
+            for r in _c.concept_rows()
+        }
+    )
+    dic_vals = ", ".join(
+        f"('{cid}', {_sql_str(a)}, '{s}')" for cid, a, s in dic_rows
+    )
+    return f"""
+WITH RECURSIVE
+pages(url, text, lang) AS (VALUES {page_vals}),
+dictt(tag, surface, toklist, width) AS (VALUES {', '.join(dict_vals)}),
+semmap(tag, sem) AS (VALUES {sem_vals}),
+dic(concept_id, alias_norm, sem_type) AS (VALUES {dic_vals}),
+lines AS (
+    SELECT url,
+           unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS line_idx
+    FROM pages WHERE lang = 'ja'
+),
+raw_sents AS (
+    SELECT url, line_idx,
+           unnest(regexp_extract_all(line, '{_SENT_PATTERN}')) AS sent,
+           generate_subscripts(regexp_extract_all(line, '{_SENT_PATTERN}'), 1) AS s_idx
+    FROM lines
+),
+sents0 AS (
+    SELECT url, line_idx, s_idx, trim(sent, ' ') AS sentence
+    FROM raw_sents WHERE trim(sent, ' ') <> ''
+),
+sents AS (
+    SELECT url,
+           CAST(row_number() OVER (PARTITION BY url ORDER BY line_idx, s_idx) - 1 AS INT) AS sent_id,
+           list_filter(
+               list_transform(regexp_extract_all(sentence, '{_TOK_PATTERN}'),
+                              t -> CASE WHEN t = chr(12288) THEN '[JASP]' ELSE t END),
+               t -> t NOT IN (' ', chr(9), chr(13))) AS toks
+    FROM sents0
+),
+gated AS (SELECT * FROM sents WHERE len(toks) <= 510),
+pos AS (SELECT url, sent_id, toks, unnest(range(0, len(toks))) AS p FROM gated),
+m AS (
+    SELECT url, sent_id, CAST(p AS INT) AS b, CAST(p + width AS INT) AS e,
+           tag, surface
+    FROM pos JOIN dictt ON toks[p + 1 : p + width] = toklist
+    QUALIFY row_number() OVER (PARTITION BY url, sent_id, p ORDER BY width DESC) = 1
+),
+rels AS (
+    SELECT d.url, d.sent_id, d.surface AS subj, 'region' AS pred,
+           a.surface AS obj, 'd' AS subj_tag, 'a' AS obj_tag
+    FROM m d JOIN m a ON d.url = a.url AND d.sent_id = a.sent_id
+    WHERE d.tag = 'd' AND a.tag = 'a'
+    UNION ALL
+    SELECT d.url, d.sent_id, d.surface, 'timeOnset', t.surface, 'd', 'TIMEX3'
+    FROM m d JOIN m t ON d.url = t.url AND d.sent_id = t.sent_id
+    WHERE d.tag = 'd' AND t.tag = 'TIMEX3'
+    UNION ALL
+    SELECT d.url, d.sent_id, d.surface, 'On', d.surface, 'd', 'd'
+    FROM m d WHERE d.tag = 'd' AND EXISTS (
+        SELECT 1 FROM m t
+        WHERE t.url = d.url AND t.sent_id = d.sent_id AND t.tag = 'TIMEX3')
+    UNION ALL
+    SELECT * FROM (
+        SELECT v.url, v.sent_id, v.surface AS subj, 'value' AS pred,
+               k.surface AS obj, 't-val' AS subj_tag, 't-key' AS obj_tag
+        FROM m v JOIN m k ON v.url = k.url AND v.sent_id = k.sent_id
+        WHERE v.tag = 't-val' AND k.tag = 't-key' AND k.e < v.e
+        QUALIFY row_number() OVER (
+            PARTITION BY v.url, v.sent_id, v.b ORDER BY k.e DESC) = 1
+    )
+),
+surf AS (
+    SELECT DISTINCT surface, sem FROM (
+        SELECT r.subj AS surface, sm.sem
+        FROM rels r JOIN semmap sm ON sm.tag = r.subj_tag
+        UNION
+        SELECT r.obj, sm.sem FROM rels r JOIN semmap sm ON sm.tag = r.obj_tag
+    )
+),
+exact AS (
+    SELECT s.surface, s.sem, d.concept_id,
+           CAST(1.0 AS DOUBLE) AS score, 'exact' AS method
+    FROM surf s JOIN (SELECT DISTINCT concept_id, alias_norm, sem_type FROM dic) d
+      ON s.surface = d.alias_norm AND s.sem = d.sem_type
+),
+missed AS (
+    SELECT s.* FROM surf s WHERE NOT EXISTS (
+        SELECT 1 FROM dic d
+        WHERE d.alias_norm = s.surface AND d.sem_type = s.sem)
+),
+mg AS (SELECT surface, sem, {_grams_sql('surface')} AS g FROM missed),
+dgg AS (
+    SELECT concept_id, alias_norm, sem_type, {_grams_sql('alias_norm')} AS g
+    FROM (SELECT DISTINCT concept_id, alias_norm, sem_type FROM dic)
+),
+fz AS (
+    SELECT surface, sem, concept_id, score, 'minhash' AS method FROM (
+        SELECT mg.surface, mg.sem, dgg.concept_id,
+               CAST(len(list_intersect(mg.g, dgg.g)) AS DOUBLE)
+                 / (len(mg.g) + len(dgg.g) - len(list_intersect(mg.g, dgg.g))) AS score
+        FROM mg JOIN dgg ON mg.sem = dgg.sem_type
+    ) WHERE score >= 0.10
+),
+cand AS (SELECT * FROM exact UNION ALL SELECT * FROM fz),
+links AS (
+    SELECT surface, sem, concept_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY surface, sem
+            ORDER BY score DESC, concept_id ASC, method ASC) AS rn
+        FROM cand
+    ) WHERE rn = 1
+),
+{_cc_ctes().strip()},
+resolved AS (
+    SELECT l.surface, l.sem, COALESCE(c.canonical_id, l.concept_id) AS canon_id
+    FROM links l LEFT JOIN canon_map c USING (concept_id)
+)
+SELECT r.url, r.sent_id, r.subj AS subj_surface, r.pred, r.obj AS obj_surface,
+       COALESCE(rs.canon_id, r.subj) AS subj_id,
+       COALESCE(ro.canon_id, r.obj) AS obj_id
+FROM rels r
+JOIN semmap ss ON ss.tag = r.subj_tag
+JOIN semmap so ON so.tag = r.obj_tag
+LEFT JOIN resolved rs ON rs.surface = r.subj AND rs.sem = ss.sem
+LEFT JOIN resolved ro ON ro.surface = r.obj AND ro.sem = so.sem
+"""
+
+
 def _plane_array_sql(t: int, p: int) -> str:
     """The md5-derived hyperplane (sim._plane_component) as a DOUBLE-array
     literal — the same driver-side constants Spark ships via F.lit, so both
@@ -907,6 +1140,8 @@ scored AS (
 )
 SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
 """,
+        "kg_canon_components": _canon_cc_sql(),
+        "kg_pipeline_triples": _kg_pipeline_oracle_sql(),
         "sim_lsh_topk": f"""
 WITH sig AS ({_lsh_sig_sql()}),
 cand AS (
