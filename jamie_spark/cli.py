@@ -20,6 +20,16 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="jamie-spark KG construction")
+    p.add_argument(
+        "--mode", choices=["kg", "xml2conll", "conll2xml"], default="kg",
+        help="kg (default): the KG pipeline; xml2conll / conll2xml: batch "
+             "corpus conversion (reference data_converter.py:111-139)")
+    p.add_argument("--in", dest="input",
+                   help="converter input: a directory of .xml/.conll files, "
+                        "or a parquet of (url, xml|conll) with "
+                        "--input-format parquet")
+    p.add_argument("--input-format", choices=["files", "parquet"],
+                   default="files")
     p.add_argument("--pages", help="input pages parquet/iceberg path")
     p.add_argument("--concepts", help="concept dictionary parquet path")
     p.add_argument("--out", required=True, help="output + lineage directory")
@@ -31,7 +41,46 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-buckets", type=int, default=None,
                    help="cap buckets this invocation (testing)")
+    p.add_argument("--parallel-buckets", type=int, default=1,
+                   help="overlap N bucket runs via driver threads (per-bucket"
+                        " lineage atomicity preserved)")
     return p
+
+
+def run_converter(spark, args) -> int:
+    """Batch xml2conll / conll2xml over a file directory or parquet table;
+    output is a parquet of (url, conll|xml). Spark-parallel per document —
+    the reference's single-machine file loop (data_converter.py:6-44,
+    :99-108) becomes one Arrow stage."""
+    from pyspark.sql import functions as F
+
+    from jamie_spark import convert
+
+    if not args.input:
+        print("--in required for converter modes", file=sys.stderr)
+        return 2
+    src_col = "xml" if args.mode == "xml2conll" else "conll"
+    if args.input_format == "parquet":
+        docs = spark.read.parquet(args.input)
+    else:
+        ext = ".xml" if args.mode == "xml2conll" else ".conll"
+        docs = (
+            spark.read.format("binaryFile")
+            .load(f"{args.input}/*{ext}")
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias("url"),
+                F.decode("content", "utf-8").alias(src_col),
+            )
+        )
+    out = (
+        convert.xml_to_conll(docs)
+        if args.mode == "xml2conll"
+        else convert.conll_to_xml(docs)
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(f"{args.mode}: converted {n} documents -> {args.out}")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -48,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
 
+    if args.mode in ("xml2conll", "conll2xml"):
+        return run_converter(spark, args)
+
     if args.fixture:
         pages = fixtures.pages_df_distributed(spark, args.fixture, args.seed)
         concepts = fixtures.concept_df(spark)
@@ -62,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     done = pipeline.run_with_lineage(
         spark, pages, concepts, args.out,
         n_buckets=args.buckets, max_buckets=args.max_buckets, lang=args.lang,
+        parallel_buckets=args.parallel_buckets,
     )
     lin = lineage.read_lineage(spark, args.out)
     total = lin.groupBy().sum("triple_count").first()[0] or 0

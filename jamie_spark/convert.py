@@ -1,0 +1,186 @@
+"""Batch corpus conversion: annotated XML <-> multihead CONLL (the
+``data_converter.py`` CLI modes, reference ``data_converter.py:111-139``).
+
+The reference loops a directory of files on one machine
+(``xml_to_conll`` data_converter.py:6-44, ``conll_to_xml`` :99-108); here
+each direction is one Arrow-batched ``mapInPandas`` stage over a
+``(url, xml|conll)`` DataFrame — documents are independent rows, so corpus
+prep parallelizes like every other stage. Pure per-document functions are
+exposed for tests and driver-side use.
+
+Semantics:
+
+* xml2conll — inline tags -> BIO over the pinned tokenizer, modality from
+  the family attribute, standoff brel/trel rows + DCT-Rel attributes ->
+  multihead relation columns anchored on span-final tokens
+  (reference ``convert_document_to_conll`` utils.py:668-847).
+* conll2xml — BIO -> spans, modality from span-final token, multihead
+  columns -> standoff rows, via the same writer the pipeline uses
+  (``xml_io.doc_to_xml``, reference ``MultiheadConll.doc_to_xml``
+  data_objects.py:267-310).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from . import conll as conll_mod
+from . import xml_io
+from .bio import bio_to_spans, detailed_triplets, spans_to_bio
+from .tokenizer import tokenize
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+
+def xml_doc_to_conll(url: str, xml: str) -> str:
+    """One annotated-XML document -> multihead CONLL text."""
+    mentions, relations = xml_io.parse_xml_doc(xml)
+    # plain sentence text = xml lines with tags stripped
+    plain_lines = [
+        xml_io._TAG_RE.sub("", line)
+        for line in xml.strip().split("\n")
+        if not line.startswith(("<brel", "<trel"))
+    ]
+    sents = [tokenize(line) for line in plain_lines]
+    # char offset -> token index per sentence (tokenize drops ASCII spaces,
+    # so walk the raw line and skip the dropped chars)
+    tid_anchor: dict[str, tuple[int, int]] = {}  # tid -> (sent_id, last_tok)
+    spans_per_sent: dict[int, list] = {i: [] for i in range(len(sents))}
+    mods_per_sent: dict[int, dict[int, str]] = {i: {} for i in range(len(sents))}
+    starts_cache: dict[int, list[int]] = {}
+
+    def _token_starts(sid: int) -> list[int]:
+        """Char offset of each token within the raw plain line (whitespace
+        the tokenizer drops advances the offset but yields no token)."""
+        if sid not in starts_cache:
+            starts: list[int] = []
+            line, toks = plain_lines[sid], sents[sid]
+            ti = pos = 0
+            while ti < len(toks) and pos < len(line):
+                surface = "　" if toks[ti] == "[JASP]" else toks[ti]
+                if line.startswith(surface, pos):
+                    starts.append(pos)
+                    pos += len(surface)
+                    ti += 1
+                else:
+                    pos += 1  # dropped whitespace
+            starts_cache[sid] = starts
+        return starts_cache[sid]
+
+    for m in mentions:
+        sid = m["sent_id"]
+        toks = sents[sid]
+        starts = _token_starts(sid)
+        if m["begin_char"] not in starts:
+            continue
+        begin_tok = starts.index(m["begin_char"])
+        n_chars = len(m["surface"])
+        end_tok = begin_tok
+        consumed = 0
+        while consumed < n_chars and end_tok < len(toks):
+            t = toks[end_tok]
+            consumed += len("　" if t == "[JASP]" else t)
+            end_tok += 1
+        spans_per_sent[sid].append((m["tag"], begin_tok, end_tok))
+        if m["mod"] != "_":
+            mods_per_sent[sid][end_tok - 1] = m["mod"]
+        tid_anchor[m["tid"]] = (sid, end_tok - 1)
+
+    rels_per_sent: dict[int, dict[int, tuple[list, list]]] = {
+        i: {} for i in range(len(sents))
+    }
+    for r in relations:
+        if r["arg1_tid"] not in tid_anchor or r["arg2_tid"] not in tid_anchor:
+            continue
+        sid, tail = tid_anchor[r["arg1_tid"]]
+        _, head = tid_anchor[r["arg2_tid"]]
+        rl, hl = rels_per_sent[sid].setdefault(tail, ([], []))
+        rl.append(r["reltype"])
+        hl.append(head)
+
+    out = [f"#doc {url}"]
+    for sid, toks in enumerate(sents):
+        n = len(toks)
+        ner = spans_to_bio(n, spans_per_sent[sid])
+        mod = ["_"] * n
+        for anchor, m_lab in mods_per_sent[sid].items():
+            mod[anchor] = m_lab
+        rels = [[] for _ in range(n)]
+        heads = [[] for _ in range(n)]
+        for tail, (rl, hl) in rels_per_sent[sid].items():
+            rels[tail] = rl
+            heads[tail] = hl
+        out.append(f"## line {sid}")
+        out.extend(conll_mod.sentence_to_conll_lines(toks, ner, mod, rels, heads))
+    return "\n".join(out) + "\n"
+
+
+def conll_doc_to_xml(conll_text: str) -> tuple[str, str]:
+    """One multihead-CONLL document -> (url, annotated XML text)."""
+    rows = conll_mod.parse_conll(conll_text)
+    url = rows[0]["url"] if rows else ""
+    sentences = []
+    for row in rows:
+        toks = [
+            t.replace("[JASP]", "　").replace("[SEP]", "\n")
+            for t in row["tokens"]
+        ]
+        spans = bio_to_spans(row["ner"])
+        det = detailed_triplets(row["ner"], row["rels"], row["heads"])
+        sentences.append(
+            {
+                "sent_id": row["sent_id"],
+                "tokens": toks,
+                "entities": [
+                    {"tag": t, "begin": b, "end": e, "mod": row["mod"][e - 1]}
+                    for t, b, e in spans
+                ],
+                "detailed_triples": [
+                    {"tail_begin": tb, "tail_end": te, "head_begin": hb,
+                     "head_end": he, "rel": rel}
+                    for tb, te, hb, he, rel in det
+                ],
+            }
+        )
+    return url, xml_io.doc_to_xml(sentences)
+
+
+def xml_to_conll(docs: "DataFrame") -> "DataFrame":
+    """(url, xml) -> (url, conll), one Arrow stage."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "conll": [
+                        xml_doc_to_conll(u, x)
+                        for u, x in zip(pdf["url"], pdf["xml"])
+                    ],
+                }
+            )
+
+    return docs.select("url", "xml").mapInPandas(
+        run, schema="url string, conll string"
+    )
+
+
+def conll_to_xml(docs: "DataFrame") -> "DataFrame":
+    """(url, conll) -> (url, xml), one Arrow stage."""
+
+    def run(batches):
+        for pdf in batches:
+            pairs = [conll_doc_to_xml(c) for c in pdf["conll"]]
+            yield pd.DataFrame(
+                {
+                    "url": [u or orig for (u, _), orig in zip(pairs, pdf["url"])],
+                    "xml": [x for _, x in pairs],
+                }
+            )
+
+    return docs.select("url", "conll").mapInPandas(
+        run, schema="url string, xml string"
+    )

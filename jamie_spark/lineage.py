@@ -19,6 +19,7 @@ bucket's directory).
 from __future__ import annotations
 
 import os
+import threading
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
@@ -64,6 +65,13 @@ def pending_buckets(
     return [b for b in range(n_buckets) if b not in done]
 
 
+#: concurrent parquet appends to ONE directory share the _temporary/0
+#: staging dir (FileOutputCommitter) and clobber each other — serialize
+#: lineage appends across the driver's bucket threads. Bucket DATA writes
+#: need no lock (each bucket overwrites its own directory).
+_APPEND_LOCK = threading.Lock()
+
+
 def append_lineage_row(
     spark: "SparkSession",
     base: str,
@@ -86,13 +94,14 @@ def append_lineage_row(
             "triple_count": triple_count,
         }
     ]
-    (
-        spark.createDataFrame(row, schema=LINEAGE_DDL.rsplit(",", 1)[0])
-        .withColumn("completed_at", F.current_timestamp())
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(lineage_path(base))
-    )
+    with _APPEND_LOCK:
+        (
+            spark.createDataFrame(row, schema=LINEAGE_DDL.rsplit(",", 1)[0])
+            .withColumn("completed_at", F.current_timestamp())
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(lineage_path(base))
+        )
 
 
 def bucket_of_url(n_buckets: int):

@@ -47,27 +47,205 @@ class JointExtractor(Protocol):
         ...  # pragma: no cover
 
 
+def _torch_deps():
+    """Import gate for the torch provider — a seam the mock tests patch, so
+    the full batched forward/decode path is exercised without the
+    dependency. Raises NotImplementedError when torch is absent (this
+    sandbox)."""
+    try:
+        import torch
+        import transformers
+    except ImportError as exc:
+        raise NotImplementedError(
+            "torch/transformers are not installed in this environment. "
+            "The torch provider needs: model.pt, tokenizer files and "
+            "{ner,mod,rel}2ix.json under the model dir (the artifact "
+            "layout the reference saves at clinical_joint.py:443-453). "
+            "The stand-in provider exercises the identical Spark plumbing."
+        ) from exc
+    return torch, transformers
+
+
+MAX_ENCODER_LEN = 512  # BERT position limit (reference bert_max_len)
+
+
 class TorchJointExtractor:
-    """Real-model provider (JaMIE joint checkpoint). Requires torch +
-    transformers + torchcrf; absent in this sandbox."""
+    """Real-model provider: the JaMIE joint checkpoint behind the same
+    ``annotate_sentence`` contract as the stand-in.
+
+    Load sequence mirrors the reference predict mode
+    (``clinical_joint.py:470-484``): tokenizer from the model dir
+    (do_lower_case=False, do_basic_tokenize=False,
+    tokenize_chinese_chars=False), ``{ner,mod,rel}2ix.json`` sidecars,
+    ``torch.load(model.pt)`` in eval mode, fp32 CPU (executors are CPU-only
+    unless ``spark.task.resource.gpu.amount`` is set).
+
+    Inference mirrors ``eval_joint`` (``clinical_joint.py:19-102``) with the
+    batch boundary being the Arrow batch instead of a DataLoader:
+
+    1. per word: WordPiece + de-UNK, word-id alignment kept explicitly
+       (T5/T6, utils.py:2493-2496);
+    2. per batch: pad ``[CLS] + subwords + [SEP]`` to the batch max
+       (NOT the corpus max — removes the reference's full-corpus max pass);
+    3. forward ``model(token_ids, attn_mask.bool, sent_mask.long)`` ->
+       (subword BIO strings, subword mod strings, rel dict triplets)
+       (``model.py:641-709`` eval path);
+    4. realign subword->word: NER from first subword, modality from last,
+       relation anchors remapped via the [CLS]-offset word ids, then strip
+       the [CLS]/[SEP] words (``utils.py:1831-1892``, eval_joint ``:87-95``).
+    """
 
     def __init__(self, model_dir: str):
-        try:
-            import torch  # noqa: F401
-            import transformers  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "torch/transformers are not installed in this environment. "
-                "The torch provider needs: model.pt, tokenizer files and "
-                "{ner,mod,rel}2ix.json under the model dir (the artifact "
-                "layout the reference saves at clinical_joint.py:443-453), "
-                f"requested dir: {model_dir!r}. The stand-in provider "
-                "exercises the identical Spark plumbing."
-            ) from exc
-        raise NotImplementedError(
-            "torch runtime present but the fine-tuned JaMIE artifact is not "
-            "distributed with this repo"
-        )  # pragma: no cover
+        import json
+        import os as _os
+
+        torch, transformers = _torch_deps()
+        self._torch = torch
+        self._tokenizer = transformers.BertTokenizer.from_pretrained(
+            model_dir,
+            do_lower_case=False,
+            do_basic_tokenize=False,
+            tokenize_chinese_chars=False,
+        )
+        self._vocabs = {}
+        for name in ("ner2ix", "mod2ix", "rel2ix"):
+            with open(_os.path.join(model_dir, f"{name}.json")) as fi:
+                self._vocabs[name] = json.load(fi)
+        self._model = torch.load(
+            _os.path.join(model_dir, "model.pt"), map_location="cpu"
+        )
+        self._model.eval()
+        self.subword_vocab = set(self._tokenizer.get_vocab())
+
+    # -- encoding ------------------------------------------------------------
+
+    def _subwords(self, tokens: list[str]) -> tuple[list[str], list[int]]:
+        """Word tokens -> (de-UNK'd subwords, word id per subword)."""
+        from .subword import UNK
+
+        sbw: list[str] = []
+        word_ids: list[int] = []
+        for wid, tok in enumerate(tokens):
+            pieces = self._tokenizer.tokenize(tok) or [UNK]
+            pieces = [tok if p == UNK else p for p in pieces]  # de-UNK (T6)
+            sbw.extend(pieces)
+            word_ids.extend([wid] * len(pieces))
+        return sbw, word_ids
+
+    # -- decode ----------------------------------------------------------
+
+    @staticmethod
+    def _realign(
+        n_words: int,
+        full_word_ids: list[int],
+        sbw_ner: list[str],
+        sbw_mod: list[str],
+        rel_triplets: list[dict],
+    ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:
+        """Subword-level predictions -> word-level, [CLS]/[SEP] stripped.
+
+        ``full_word_ids[i]`` is the word index (0 = [CLS], n_words+1 =
+        [SEP]) of subword position i. NER from each word's FIRST subword
+        (sbwner2ner), modality from its LAST (sbwmod2mod), relation anchors
+        from the LAST subword of the model's entity index lists with the
+        [CLS] offset removed (sbwrel2head, offset=-1).
+        """
+        total = n_words + 2
+        ner = ["O"] * total
+        mod = ["_"] * total
+        seen: set[int] = set()
+        for i, wid in enumerate(full_word_ids):
+            if wid not in seen:
+                seen.add(wid)
+                ner[wid] = sbw_ner[i] if i < len(sbw_ner) else "O"
+            if i < len(sbw_mod):
+                mod[wid] = sbw_mod[i]
+        rels: list[list[str]] = [[] for _ in range(n_words)]
+        heads: list[list[int]] = [[] for _ in range(n_words)]
+        for t in rel_triplets:
+            if t["predicate"] == "N" or not t["subject"] or not t["object"]:
+                continue
+            s_last, o_last = t["subject"][-1], t["object"][-1]
+            if not (0 <= s_last < len(full_word_ids)):
+                continue
+            if not (0 <= o_last < len(full_word_ids)):
+                continue
+            w_tail = full_word_ids[s_last] - 1
+            w_head = full_word_ids[o_last] - 1
+            if 0 <= w_tail < n_words and 0 <= w_head < n_words:
+                if (t["predicate"], w_head) not in zip(rels[w_tail], heads[w_tail]):
+                    rels[w_tail].append(t["predicate"])
+                    heads[w_tail].append(w_head)
+        return ner[1:-1], mod[1:-1], rels, heads
+
+    def annotate_batch(
+        self, batch_tokens: list[list[str]]
+    ) -> list[tuple[list[str], list[str], list[list[str]], list[list[int]]]]:
+        """One Arrow batch of sentences -> per-sentence (ner, mod, rels,
+        heads). Sentences over the encoder limit come back all-O (the T12
+        gate upstream already drops them when subword_vocab is set; this is
+        the defensive backstop)."""
+        torch = self._torch
+        cls_id = self._tokenizer.convert_tokens_to_ids("[CLS]")
+        sep_id = self._tokenizer.convert_tokens_to_ids("[SEP]")
+        pad_id = self._tokenizer.convert_tokens_to_ids("[PAD]")
+
+        encoded = []
+        for tokens in batch_tokens:
+            sbw, word_ids = self._subwords(tokens)
+            if len(sbw) + 2 > MAX_ENCODER_LEN:
+                encoded.append(None)
+                continue
+            ids = [cls_id] + self._tokenizer.convert_tokens_to_ids(sbw) + [sep_id]
+            full_word_ids = (
+                [0] + [w + 1 for w in word_ids] + [len(tokens) + 1]
+            )
+            encoded.append((ids, full_word_ids))
+        live = [e for e in encoded if e is not None]
+        results: dict[int, tuple] = {}
+        if live:
+            max_len = max(len(ids) for ids, _ in live)
+            tok_rows, attn_rows = [], []
+            for ids, _ in live:
+                pad = max_len - len(ids)
+                tok_rows.append(ids + [pad_id] * pad)
+                attn_rows.append([1] * len(ids) + [0] * pad)
+            toks_t = torch.tensor(tok_rows, dtype=torch.long)
+            attn_t = torch.tensor(attn_rows, dtype=torch.bool)
+            sent_t = torch.tensor(
+                [[0] * max_len for _ in live], dtype=torch.long
+            )
+            with torch.no_grad():
+                ner_tags, mod_tags, rel_triplets = self._model(
+                    toks_t, attn_t, sent_t
+                )
+            li = 0
+            for bi, e in enumerate(encoded):
+                if e is None:
+                    continue
+                _, full_word_ids = e
+                results[bi] = self._realign(
+                    len(batch_tokens[bi]),
+                    full_word_ids,
+                    list(ner_tags[li]),
+                    list(mod_tags[li]),
+                    list(rel_triplets[li]),
+                )
+                li += 1
+        out = []
+        for bi, tokens in enumerate(batch_tokens):
+            if bi in results:
+                out.append(results[bi])
+            else:
+                n = len(tokens)
+                out.append((["O"] * n, ["_"] * n, [[] for _ in range(n)],
+                            [[] for _ in range(n)]))
+        return out
+
+    def annotate_sentence(
+        self, tokens: list[str]
+    ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:
+        return self.annotate_batch([tokens])[0]
 
 
 def model_version(spec: str | None = None) -> str:

@@ -125,6 +125,7 @@ def run_with_lineage(
     stage: str = "kg_triples",
     max_buckets: int | None = None,
     lang: str = "ja",
+    parallel_buckets: int = 1,
 ) -> list[int]:
     """Bucket-wise run with lineage + resume (N6). Returns buckets processed.
 
@@ -132,6 +133,16 @@ def run_with_lineage(
     via JAMIE_MODEL invalidates completions of the previous model.
     ``max_buckets`` caps work per invocation (used by the kill/resume test to
     simulate a mid-run crash).
+
+    ``parallel_buckets`` > 1 overlaps bucket runs via driver threads (Spark
+    schedules concurrent jobs fairly). Per-bucket lineage atomicity is
+    unchanged: each bucket still writes its own data directory
+    (deterministic overwrite) BEFORE appending its own lineage row; the
+    append itself is serialized by a driver lock (concurrent appends to one
+    parquet dir share the _temporary staging dir and clobber). Sequential
+    remains the default — at real scale one bucket saturates the cluster
+    and sequential is the right resume granularity; parallelism pays when
+    buckets are small relative to the cluster.
     """
     from .models import model_version
 
@@ -142,7 +153,8 @@ def run_with_lineage(
     if max_buckets is not None:
         todo = todo[:max_buckets]
     bucketed = pages.withColumn("_bucket", lineage.bucket_of_url(n_buckets))
-    for b in todo:
+
+    def _run_bucket(b: int) -> None:
         subset = bucketed.where(F.col("_bucket") == b).drop("_bucket")
         result = run_kg(subset, concept_dict, lang=lang)
         out = result["canonical_triples"].persist()
@@ -161,6 +173,16 @@ def run_with_lineage(
             spark, out_dir, stage, b, stats["lo"], stats["hi"],
             mv, stats["n"], n_triples,
         )
+
+    if parallel_buckets <= 1:
+        for b in todo:
+            _run_bucket(b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallel_buckets) as pool:
+            # list() drains the iterator so the first failure propagates
+            list(pool.map(_run_bucket, todo))
     return todo
 
 

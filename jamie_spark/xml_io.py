@@ -280,9 +280,11 @@ _ATTR_RE = re.compile(r"([\w-]+)=\"([^\"]*)\"")
 def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
     """Annotated XML -> (mentions, relations) standoff rows.
 
-    mentions: (sent_id, tid, tag, surface, mod); relations: (arg1_tid,
-    arg2_tid, reltype) with DCT self-loops restored as arg1 == arg2
-    (reference utils.py:686-697 builds the same rel_dic).
+    mentions: (sent_id, tid, tag, surface, mod, begin_char) — begin_char is
+    the offset into the tag-stripped sentence text (used by the xml2conll
+    converter to re-anchor spans on tokens); relations: (arg1_tid, arg2_tid,
+    reltype) with DCT self-loops restored as arg1 == arg2 (reference
+    utils.py:686-697 builds the same rel_dic).
     """
     mentions: list[dict] = []
     relations: list[dict] = []
@@ -317,6 +319,7 @@ def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
                         "tag": tag,
                         "surface": surface,
                         "mod": mod,
+                        "begin_char": start_len,
                     }
                 )
                 if "DCT-Rel" in attrs:

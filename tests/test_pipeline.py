@@ -273,3 +273,34 @@ def test_lineage_resume_idempotent(spark, corpus, tmp_path):
     lin = pipeline.lineage.read_lineage(spark, out)
     assert lin.groupBy("bucket").count().where(F.col("count") > 1).count() == 0
     assert lin.agg(F.sum("triple_count")).first()[0] == oneshot.count()
+
+
+def test_parallel_buckets_resume_idempotent(spark, corpus, tmp_path):
+    """--parallel-buckets: overlapped bucket runs keep per-bucket lineage
+    atomicity — kill/resume and output parity as in the sequential case."""
+    out = str(tmp_path / "kg_par")
+    first = pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out,
+        n_buckets=4, max_buckets=2, parallel_buckets=2,
+    )
+    assert len(first) == 2
+    second = pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out,
+        n_buckets=4, parallel_buckets=2,
+    )
+    assert sorted(first + second) == [0, 1, 2, 3]
+
+    resumed = pipeline.read_materialized(spark, out)
+    sequential = pipeline.run_kg(corpus["pages"], corpus["concepts"])[
+        "canonical_triples"
+    ]
+    key = ["url", "sent_id", "subj_surface", "pred", "obj_surface",
+           "subj_id", "obj_id"]
+    a = resumed.groupBy(*key).count()
+    b = sequential.groupBy(*key).count()
+    assert a.join(b, key + ["count"], "full_outer").where(
+        F.col("count").isNull()
+    ).count() == 0
+
+    lin = pipeline.lineage.read_lineage(spark, out)
+    assert lin.groupBy("bucket").count().where(F.col("count") > 1).count() == 0
