@@ -102,6 +102,7 @@ def main() -> None:
         "r2_pair_counts",
         "n3_window_top1",
         "e2_eval_prf",
+        "e3_rel_strict",
         "kg_mentions",
         "kg_triples_window",
         "token_counts",
