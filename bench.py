@@ -198,21 +198,41 @@ def kg_only(cpus: int, n_docs: int) -> None:
 SCALING_PAIR = (4, 16)
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def scaling(n_docs: int) -> None:
-    """N vs 4N cores on the identical parquet corpus -> BENCH/BASELINE.md."""
+    """N vs 4N cores on the identical parquet corpus -> BENCH/BASELINE.md.
+
+    Each leg runs SPARK_GRAFT_SCALING_RUNS times (default 3) in fresh JVMs,
+    legs ALTERNATING so slow drift in external load on the shared box hits
+    both legs equally; the efficiency is computed from per-leg medians.
+    (Single-run pairings measured anywhere from 0.70 to 1.08 on this box —
+    the medians are stable at ~0.9; see BENCH/NOTES.md §6.)
+    """
     lo, hi = SCALING_PAIR
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
     materialize_corpus(n_docs)
-    results = {}
-    for cpus in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, __file__, "--kg-parquet", str(cpus), str(n_docs)],
-            capture_output=True, text=True, check=True,
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-        print(line)
-    t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+    times: dict[int, list[float]] = {lo: [], hi: []}
+    rates: dict[int, list[float]] = {lo: [], hi: []}
+    for _ in range(n_runs):
+        for cpus in (lo, hi):
+            out = subprocess.run(
+                [sys.executable, __file__, "--kg-parquet", str(cpus), str(n_docs)],
+                capture_output=True, text=True, check=True,
+            )
+            line = out.stdout.strip().splitlines()[-1]
+            r = json.loads(line)
+            times[cpus].append(r["sec"])
+            rates[cpus].append(r["docs_per_sec"])
+            print(line)
+    t_lo, t_hi = _median(times[lo]), _median(times[hi])
     eff = (t_lo / t_hi) / (hi // lo)
+    runs_lo = ", ".join(f"{t:.1f}" for t in times[lo])
+    runs_hi = ", ".join(f"{t:.1f}" for t in times[hi])
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as fo:
         fo.write(
@@ -224,13 +244,23 @@ def scaling(n_docs: int) -> None:
             "a python-UDF-heavy job occupies ~2 OS threads (JVM task + python "
             "worker), so the pair is chosen to keep both runs un-oversubscribed "
             f"on the 32-CPU box: local[{lo}] vs local[{hi}].\n\n"
-            f"| parallelism | docs | sec | docs/sec |\n|---|---|---|---|\n"
-            f"| local[{lo}] | {n_docs} | {t_lo:.2f} | {results[lo]['docs_per_sec']} |\n"
-            f"| local[{hi}] | {n_docs} | {t_hi:.2f} | {results[hi]['docs_per_sec']} |\n\n"
+            f"Protocol: one shared on-disk corpus, fresh JVM per run, tiny JIT "
+            f"warmup before the clock, {n_runs} runs per leg ALTERNATING legs "
+            "(shared-box drift hits both legs equally), per-leg medians.\n\n"
+            f"| parallelism | docs | runs (sec) | median sec | docs/sec (median) |\n"
+            f"|---|---|---|---|---|\n"
+            f"| local[{lo}] | {n_docs} | {runs_lo} | {t_lo:.2f} | {n_docs / t_lo:,.0f} |\n"
+            f"| local[{hi}] | {n_docs} | {runs_hi} | {t_hi:.2f} | {n_docs / t_hi:,.0f} |\n\n"
             f"**Scaling efficiency (T{lo}/T{hi})/{hi // lo} = {eff:.3f}** "
-            f"(north_rule gate: >= 0.8)\n"
+            f"(north_rule gate: >= 0.8)\n\n"
+            "The python inference stage alone (no downstream constants) "
+            "measures 0.97 leg-to-leg efficiency (BENCH/NOTES.md §6); the "
+            "pipeline number includes the vocabulary-sized linking/canon "
+            "stages and the stage checkpoint, which are constant-time by "
+            "design (they scale with the DICTIONARY, not the corpus).\n"
         )
-    print(json.dumps({"scaling_efficiency": round(eff, 3)}))
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "runs_lo": times[lo], "runs_hi": times[hi]}))
 
 
 if __name__ == "__main__":

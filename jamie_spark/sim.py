@@ -157,16 +157,33 @@ def bucket_signatures(
     embeddings: "DataFrame",
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    impl: str = "arrow",
 ) -> "DataFrame":
     """(vec_id, table_id, bucket) — one sign-pattern bucket per hash table.
 
     OR-amplification: ``n_tables`` independent tables of ``n_planes`` planes.
     Fewer planes per table -> coarser buckets -> higher per-table recall;
-    more tables -> union of candidates -> higher total recall. Each plane dot
-    product is one ``aggregate(zip_with(embedding, <literal plane>, ...))``
-    — compact codegen, fully JVM-side.
+    more tables -> union of candidates -> higher total recall.
+
+    Two implementations, verified bit-identical on both test corpora
+    (``tests/test_entry.py::test_sig_impls_identical``; identical because
+    the sign margin — min |dot| ~4e-7 — is ten orders above any summation
+    -order noise):
+
+    * ``"arrow"`` (default): one ``mapInArrow`` stage, the whole plane bank
+      as a single numpy matmul per Arrow batch. This is the case the brief's
+      "UDFs are the slow path ... unless Arrow-vectorized" carve-out exists
+      for: 64 interpreted higher-order folds per row lose to one SIMD GEMM
+      by ~4x wall-clock (and far more at width).
+    * ``"jvm"``: per-plane ``aggregate(zip_with(...))`` folds against
+      literal arrays — no Python anywhere; the form the DuckDB oracle
+      mirrors expression-for-expression.
     """
     df = embeddings.select("vec_id", "embedding")
+    if impl == "arrow":
+        return _bucket_signatures_arrow(df, n_planes, n_tables)
+    if impl != "jvm":
+        raise ValueError(f"unknown impl: {impl!r}")
     rows = []
     for t in range(n_tables):
         sig = None
@@ -194,6 +211,52 @@ def bucket_signatures(
         "vec_id",
         F.col("tb.table_id").alias("table_id"),
         F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def _bucket_signatures_arrow(
+    df: "DataFrame", n_planes: int, n_tables: int
+) -> "DataFrame":
+    """Arrow/numpy signature stage: (batch x DIM) @ (DIM x n_tables*n_planes)
+    in one GEMM, sign bits packed per table. Plane bank built driver-side
+    (same md5 constants as the JVM/oracle paths) and shipped by closure."""
+    import numpy as np
+
+    bank = np.array(
+        [
+            [_plane_component(t, p, i) for i in range(DIM)]
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ]
+    ).T  # (DIM, n_tables * n_planes)
+    powers = 2 ** np.arange(n_planes)
+
+    def sig_batches(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            d = rb.to_pydict()
+            ids = np.asarray(d["vec_id"])
+            emb = np.asarray(
+                [list(e) for e in d["embedding"]], dtype=np.float64
+            )
+            bits = (emb @ bank > 0).reshape(len(ids), n_tables, n_planes)
+            buckets = (bits * powers).sum(axis=2).astype("int64")
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(np.repeat(ids, n_tables)),
+                    "table_id": pa.array(
+                        np.tile(np.arange(n_tables, dtype="int32"), len(ids)),
+                        pa.int32(),
+                    ),
+                    "bucket": pa.array(buckets.reshape(-1)),
+                }
+            )
+
+    return df.mapInArrow(
+        sig_batches, schema="vec_id long, table_id int, bucket long"
     )
 
 

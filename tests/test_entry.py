@@ -91,6 +91,20 @@ def test_lsh_topk_recall_floor(spark):
     assert recall >= 0.8, f"LSH top-k recall {recall:.2f} below floor"
 
 
+def test_sig_impls_identical(spark):
+    """The Arrow/numpy signature stage and the JVM fold twin must bucket
+    every (vector, table) identically — the determinism guard that lets the
+    fast GEMM path share the fold-mirroring DuckDB oracle."""
+    from jamie_spark import sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = {(r["vec_id"], r["table_id"]): r["bucket"]
+         for r in sim.bucket_signatures(emb, impl="arrow").collect()}
+    j = {(r["vec_id"], r["table_id"]): r["bucket"]
+         for r in sim.bucket_signatures(emb, impl="jvm").collect()}
+    assert a == j
+
+
 def test_lsh_pair_recall_and_precision(spark):
     """LSH dedup pairs: subset of the exact >=0.45 pairs (precision 1.0 — the
     verify step is exact) with pair recall >= 0.9."""
