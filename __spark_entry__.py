@@ -463,6 +463,10 @@ def _lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=10, k=5)
+
+
 def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fixture pipeline (rows-only check; non-SQL-expressible UDF stage)."""
     pages = fixtures.pages_df(spark, 150, seed=42)
@@ -514,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _fingerprints,
         "sim_cosine_topk": _cosine_topk,
         "sim_lsh_topk": _lsh_topk,
+        "sim_ivf_topk": _ivf_topk,
     }
 
 
@@ -1228,6 +1233,57 @@ SELECT DISTINCT doc_id,
        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
 FROM h
+""",
+        "sim_ivf_topk": f"""
+WITH base AS (
+    SELECT vec_id, embedding AS e,
+           sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, e AS ce, n AS nc FROM base
+         WHERE vec_id < {sim.N_IVF_CELLS}),
+all_scores AS (
+    SELECT b.vec_id, c.cid,
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(b.e[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+             / (b.n * c.nc) AS score
+    FROM base b, cent c
+),
+assign AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM all_scores
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM all_scores WHERE vec_id < 10
+    ) WHERE rn <= {sim.N_IVF_PROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id != p.query_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.e[i] AS DOUBLE) * CAST(c.e[i] AS DOUBLE)))
+             / (q.n * c.n), 4) AS score
+    FROM cand
+    JOIN base q ON q.vec_id = query_id
+    JOIN base c ON c.vec_id = neighbor_id
+)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
 """,
         "sim_cosine_topk": """
 WITH base AS (SELECT vec_id, embedding AS e FROM embeddings),

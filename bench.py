@@ -116,6 +116,7 @@ def main() -> None:
         "doc_fingerprint",
         "sim_cosine_topk",
         "sim_lsh_topk",
+        "sim_ivf_topk",
     ]
     qmap = entry_mod.queries()
     for name in bench_queries:

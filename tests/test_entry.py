@@ -91,6 +91,17 @@ def test_lsh_topk_recall_floor(spark):
     assert recall >= 0.8, f"LSH top-k recall {recall:.2f} below floor"
 
 
+def test_ivf_topk_recall_floor(spark):
+    """IVF ANN (the second scale flavor next to LSH) must recover >= 0.8 of
+    the exact top-5 sets (defaults measure 0.92 at sf0.01, 0.98 at sf0.1)."""
+    exact = entry_mod.queries()["sim_cosine_topk"](spark, SF_DIR)
+    approx = entry_mod.queries()["sim_ivf_topk"](spark, SF_DIR)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"IVF top-k recall {recall:.2f} below floor"
+
+
 def test_sig_impls_identical(spark):
     """The Arrow/numpy signature stage and the JVM fold twin must bucket
     every (vector, table) identically — the determinism guard that lets the

@@ -76,6 +76,7 @@ def test_lsh_candidate_shuffles_carry_ids_only(spark):
     for df in (
         sim.candidate_pairs(emb),
         sim.lsh_topk(emb, n_queries=3, k=2),
+        sim.ivf_topk(emb, n_queries=3, k=2, n_cells=4),
     ):
         plan = _plan(df)
         for line in plan.splitlines():
