@@ -1,18 +1,27 @@
 """Canonicalization by connected components over alias edges (N4).
 
 GraphFrames is the first choice on a real cluster (north_star names it); its
-jar is not present in this sandbox, so the engine ships a pure-DataFrame
-fallback and picks at runtime (SURVEY.md §7 step 6). The fallback is
-iterative minimum-label propagation:
+jar is not present in this sandbox, so the engine ships pure-DataFrame
+fallbacks and picks at runtime (SURVEY.md §7 step 6). Physical strategies:
 
-    comp(v) <- min(comp(v), min over neighbors comp(u))
+* driver union-find below ``SMALL_GRAPH_EDGES`` — tiny alias dictionaries
+  don't deserve shuffles;
+* GraphFrames ``connectedComponents`` when the jar is present;
+* **alternating large-star / small-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond") — the distributed default: converges
+  in O(log n) rounds regardless of graph diameter, each round two grouped
+  aggregations. This is the algorithm that survives adversarial graphs
+  (long alias chains) where naive min-label propagation needs
+  O(diameter) rounds;
+* iterative minimum-label propagation (``algorithm="minlabel"``) — kept as
+  the simple cross-check twin; raises by default if ``max_iter`` is
+  exhausted unconverged.
 
-run until fixpoint. Alias graphs are shallow (a component is one concept's
-alias star plus a few cross-links — diameter <= ~4 even at UMLS scale), so the
-loop converges in O(diameter) rounds; each round is one shuffle on vertex id.
-``localCheckpoint`` truncates lineage every round so plans don't snowball.
-At 10^12-row scale the same loop holds because the vertex set is the alias
-VOCABULARY (millions), not the corpus.
+Alias graphs are usually shallow (a component is one concept's alias star
+plus a few cross-links), but the star algorithm costs the same there and
+removes the diameter failure mode. ``localCheckpoint`` truncates lineage
+every round so plans don't snowball. At 10^12-row scale all of this holds
+because the vertex set is the alias VOCABULARY (millions), not the corpus.
 """
 
 from __future__ import annotations
@@ -59,11 +68,97 @@ def _union_find(edge_rows: list) -> dict[str, str]:
     return {v: find(v) for v in parent}
 
 
+def _checksum(df: "DataFrame") -> tuple[int, int]:
+    """(row_count, order-insensitive hash) of an edge set — the cheap
+    convergence test for the star rounds (one aggregation, no sort/except)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def _star_components(edges: "DataFrame", max_iter: int = 50) -> "DataFrame":
+    """Alternating large-star / small-star -> (vertex, component=min vertex).
+
+    Each round:
+      large-star: for every vertex u, link every LARGER neighbor v to
+        m = min(N(u) ∪ {u}) — over the symmetric edge closure;
+      small-star: orient edges large->small, link every smaller neighbor
+        (and u itself) to the minimum — over the oriented set.
+    The edge set converges to per-component stars rooted at the minimum
+    vertex in O(log n) rounds (Kiveris et al.); convergence is detected by
+    an order-insensitive checksum of the edge set.
+    """
+    spark = edges.sparkSession
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        # large-star over the symmetric closure
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", F.col("mv")).alias("m")
+        )
+        e1 = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large->small orientation
+        dr = e1.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m2 = dr.groupBy("u").agg(F.min("v").alias("m"))
+        e2 = (
+            dr.join(m2, "u")
+            .select(F.col("v").alias("node"), "m")
+            .union(m2.select(F.col("u").alias("node"), "m"))
+            .where(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(e2)
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    # converged: e holds (vertex -> component-min) star edges; roots map to
+    # themselves, isolated vertices cannot occur (every vertex came from an
+    # edge), so coalesce covers exactly the roots.
+    return verts.join(
+        e.select(F.col("u").alias("vertex"), F.col("v").alias("c")),
+        "vertex",
+        "left",
+    ).select(
+        "vertex", F.coalesce("c", F.col("vertex")).alias("component")
+    )
+
+
 def connected_components(
     edges: "DataFrame",
     max_iter: int = 25,
     small_graph_edges: int = SMALL_GRAPH_EDGES,
     on_nonconverged: str = "raise",
+    algorithm: str = "star",
 ) -> "DataFrame":
     """edges(src string, dst string) -> (vertex string, component string).
 
@@ -71,9 +166,11 @@ def connected_components(
     (deterministic canonical representative). Physical strategy is adaptive:
     driver-side union-find below ``small_graph_edges`` (the alias dictionary
     case), GraphFrames when its jar is present, else the distributed
-    min-label propagation loop (forced in tests via ``small_graph_edges=0``).
+    ``algorithm``: ``"star"`` (default — O(log n) rounds, diameter-proof) or
+    ``"minlabel"`` (forced in tests via ``small_graph_edges=0`` +
+    ``algorithm=...`` to cross-check the strategies).
 
-    The propagation loop converges in O(component diameter) rounds; if
+    The min-label loop converges in O(component diameter) rounds; if
     ``max_iter`` is exhausted first the labels are WRONG (some vertices still
     carry a non-minimal component id). ``on_nonconverged`` decides what
     happens then: ``"raise"`` (default — canonicalizing with unconverged
@@ -100,6 +197,11 @@ def connected_components(
         g = GraphFrame(vertices, edges)
         cc = g.connectedComponents()
         return cc.select(F.col("id").alias("vertex"), F.col("component").cast("string"))
+
+    if algorithm == "star":
+        return _star_components(edges, max_iter=max_iter * 2)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
 
     # undirected closure
     und = (

@@ -151,12 +151,66 @@ def test_linking_fuzzy_minhash(spark, corpus):
 
 
 def test_canonicalization_distributed_equals_unionfind(spark, corpus):
-    """Both physical strategies (driver union-find / distributed min-label
-    propagation loop) produce identical components."""
-    fast = canon.canonicalize_concepts(corpus["concepts"]).collect()
-    dist = canon.canonicalize_concepts(corpus["concepts"], small_graph_edges=0).collect()
-    key = lambda r: (r["concept_id"], r["canonical_id"])  # noqa: E731
-    assert sorted(map(key, fast)) == sorted(map(key, dist))
+    """All physical strategies (driver union-find / large-small star /
+    min-label propagation) produce identical components."""
+    edges = corpus["concepts"].select(
+        F.col("alias").alias("src"), F.col("concept_id").alias("dst")
+    ).distinct()
+    key = lambda r: (r["vertex"], r["component"])  # noqa: E731
+    fast = sorted(map(key, canon.connected_components(edges).collect()))
+    star = sorted(map(key, canon.connected_components(
+        edges, small_graph_edges=0, algorithm="star").collect()))
+    minl = sorted(map(key, canon.connected_components(
+        edges, small_graph_edges=0, algorithm="minlabel").collect()))
+    assert fast == star == minl
+
+
+def test_star_components_solve_deep_graphs(spark):
+    """A 120-vertex path (diameter 119): min-label propagation exhausts
+    max_iter=25 and raises; the star algorithm converges in O(log n) rounds
+    — the diameter failure mode is gone at any scale."""
+    n = 120
+    edges = spark.createDataFrame(
+        [(f"v{i:03d}", f"v{i + 1:03d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError):
+        canon.connected_components(
+            edges, small_graph_edges=0, algorithm="minlabel", max_iter=25
+        ).collect()
+    got = {
+        r["vertex"]: r["component"]
+        for r in canon.connected_components(
+            edges, small_graph_edges=0, algorithm="star"
+        ).collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {"v000"}
+
+
+def test_star_components_random_graph_vs_unionfind(spark):
+    """Star components == union-find ground truth on a seeded random graph
+    with several components and cycles."""
+    import random
+
+    rng = random.Random(13)
+    edges = []
+    for comp in range(6):
+        members = [f"c{comp}_{i:02d}" for i in range(rng.randint(2, 25))]
+        for i in range(1, len(members)):
+            edges.append((members[i], members[rng.randrange(i)]))
+        for _ in range(len(members) // 3):  # extra cycle edges
+            edges.append((rng.choice(members), rng.choice(members)))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    truth = canon._union_find([{"src": a, "dst": b} for a, b in edges])
+    got = {
+        r["vertex"]: r["component"]
+        for r in canon.connected_components(
+            df, small_graph_edges=0, algorithm="star"
+        ).collect()
+    }
+    # union-find may include self-loop-only vertices identically
+    assert got == {v: c for v, c in truth.items()}
 
 
 def test_canonicalization_components(spark, corpus):
