@@ -477,6 +477,20 @@ def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_pipeline_triples_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fixture pipeline in DOCUMENT-LEVEL trunk mode (T11): [SEP]-joined
+    trunks through the same hot path; relations range over the trunk. Oracle:
+    the pipeline SQL twin with the whole-document unit CTE."""
+    pages = fixtures.pages_df(spark, 120, seed=42)
+    concepts = fixtures.concept_df(spark)
+    return pipeline.run_kg(pages, concepts, mode="document")[
+        "canonical_triples"
+    ].select(
+        "url", "sent_id", "subj_surface", "pred", "obj_surface",
+        "subj_id", "obj_id",
+    )
+
+
 def _kg_canon_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on the alias graph (rows-only: iterative)."""
     return canon.canonicalize_concepts(fixtures.concept_df(spark))
@@ -488,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _kg_mentions,
         "kg_triples_window": _kg_triples_window,
         "kg_pipeline_triples": _kg_pipeline_triples,
+        "kg_pipeline_triples_doc": _kg_pipeline_triples_doc,
         "kg_canon_components": _kg_canon_components,
         "kg_link_rerank": _kg_link_rerank,
         "n3_window_top1": _n3_window_top1,
@@ -632,7 +647,9 @@ def _grams_sql(col: str) -> str:
     )
 
 
-def _kg_pipeline_oracle_sql(n_docs: int = 150, seed: int = 42) -> str:
+def _kg_pipeline_oracle_sql(
+    n_docs: int = 150, seed: int = 42, doc_mode: bool = False
+) -> str:
     """The ENTIRE fixture KG pipeline re-expressed in DuckDB SQL: sentence
     split + pinned tokenizer (as RE2), greedy dictionary NER, the stand-in
     relation grammar, sem_type-restricted exact+Dice linking with top-1
@@ -645,6 +662,15 @@ def _kg_pipeline_oracle_sql(n_docs: int = 150, seed: int = 42) -> str:
     when no dictionary match starts inside another — guaranteed by the
     fixture template grammar (slots are separated by literals) and enforced
     empirically by this oracle being value-exact.
+
+    ``doc_mode=True`` mirrors the document-level trunk mode: every fixture
+    document fits one <=510-token trunk (max ~5 short sentences), so the
+    unit becomes the WHOLE document — per-sentence token lists joined with
+    in-band '[SEP]' (sent_id 0), and the relation rules range over the
+    trunk (cross-sentence pairs + trunk-wide DCT), exactly what
+    ``annotate_pages_flat(mode="document")`` produces. Were a fixture doc
+    ever to exceed one trunk, Spark would split and this oracle would flag
+    the divergence — the assumption is checked, not assumed.
     """
     from jamie_spark import concepts as _c
     from jamie_spark.textnorm import zen_to_han as _z2h
@@ -672,6 +698,33 @@ def _kg_pipeline_oracle_sql(n_docs: int = 150, seed: int = 42) -> str:
     dic_vals = ", ".join(
         f"('{cid}', {_sql_str(a)}, '{s}')" for cid, a, s in dic_rows
     )
+    doc_cte = """
+sent_toks AS (
+    SELECT url,
+           CAST(row_number() OVER (PARTITION BY url ORDER BY line_idx, s_idx) - 1 AS INT) AS sent_id,
+           list_filter(
+               list_transform(regexp_extract_all(sentence, '{tok}'),
+                              t -> CASE WHEN t = chr(12288) THEN '[JASP]' ELSE t END),
+               t -> t NOT IN (' ', chr(9), chr(13))) AS toks
+    FROM sents0
+),
+sents AS (
+    SELECT url, 0 AS sent_id,
+           list_reduce(list(toks ORDER BY sent_id),
+                       (a, b) -> list_concat(list_append(a, '[SEP]'), b)) AS toks
+    FROM sent_toks GROUP BY url
+),""".replace("{tok}", _TOK_PATTERN)
+    sent_cte = """
+sents AS (
+    SELECT url,
+           CAST(row_number() OVER (PARTITION BY url ORDER BY line_idx, s_idx) - 1 AS INT) AS sent_id,
+           list_filter(
+               list_transform(regexp_extract_all(sentence, '{tok}'),
+                              t -> CASE WHEN t = chr(12288) THEN '[JASP]' ELSE t END),
+               t -> t NOT IN (' ', chr(9), chr(13))) AS toks
+    FROM sents0
+),""".replace("{tok}", _TOK_PATTERN)
+    unit_cte = doc_cte if doc_mode else sent_cte
     return f"""
 WITH RECURSIVE
 pages(url, text, lang) AS (VALUES {page_vals}),
@@ -694,15 +747,7 @@ sents0 AS (
     SELECT url, line_idx, s_idx, trim(sent, ' ') AS sentence
     FROM raw_sents WHERE trim(sent, ' ') <> ''
 ),
-sents AS (
-    SELECT url,
-           CAST(row_number() OVER (PARTITION BY url ORDER BY line_idx, s_idx) - 1 AS INT) AS sent_id,
-           list_filter(
-               list_transform(regexp_extract_all(sentence, '{_TOK_PATTERN}'),
-                              t -> CASE WHEN t = chr(12288) THEN '[JASP]' ELSE t END),
-               t -> t NOT IN (' ', chr(9), chr(13))) AS toks
-    FROM sents0
-),
+{unit_cte.strip()}
 gated AS (SELECT * FROM sents WHERE len(toks) <= 510),
 pos AS (SELECT url, sent_id, toks, unnest(range(0, len(toks))) AS p FROM gated),
 m AS (
@@ -1147,6 +1192,7 @@ SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
 """,
         "kg_canon_components": _canon_cc_sql(),
         "kg_pipeline_triples": _kg_pipeline_oracle_sql(),
+        "kg_pipeline_triples_doc": _kg_pipeline_oracle_sql(120, doc_mode=True),
         "sim_lsh_topk": f"""
 WITH sig AS ({_lsh_sig_sql()}),
 cand AS (

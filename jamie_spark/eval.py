@@ -143,6 +143,23 @@ def downsample_negatives(
     )
 
 
+def train_dev_split(
+    docs: "DataFrame", dev_ratio: float = 0.1, seed: int = 42,
+    doc_col: str = "url",
+) -> tuple["DataFrame", "DataFrame"]:
+    """R9: random per-DOCUMENT train/dev split (reference formater.py:61-75,
+    ``random.random() > dev_ratio`` per doc) — every row of a document lands
+    on the same side. The draw is a seeded hash of the document key instead
+    of RNG state: same fractions in expectation, but deterministic across
+    retries/resumes (the engine's no-rand() rule; R8 uses the same trick for
+    k-fold)."""
+    u = (F.pmod(F.xxhash64(F.col(doc_col), F.lit(seed)), F.lit(1_000_000))
+         / 1_000_000.0)
+    dev = docs.where(u < dev_ratio)
+    train = docs.where(u >= dev_ratio)
+    return train, dev
+
+
 def eval_triples(gold_triples: "DataFrame", pred_triples: "DataFrame") -> dict:
     """Mention-string relation eval (MhsEvaluator.eval_mention_rel,
     reference clinical_eval.py:145-149)."""

@@ -190,6 +190,8 @@ class TorchJointExtractor:
         sep_id = self._tokenizer.convert_tokens_to_ids("[SEP]")
         pad_id = self._tokenizer.convert_tokens_to_ids("[PAD]")
 
+        from .subword import document_sent_mask
+
         encoded = []
         for tokens in batch_tokens:
             sbw, word_ids = self._subwords(tokens)
@@ -200,21 +202,23 @@ class TorchJointExtractor:
             full_word_ids = (
                 [0] + [w + 1 for w in word_ids] + [len(tokens) + 1]
             )
-            encoded.append((ids, full_word_ids))
+            # B6: alternating token_type_ids flipping at in-band [SEP]
+            # (doc-level trunk mode; all zeros for single-sentence units)
+            smask = document_sent_mask(["[CLS]"] + sbw + ["[SEP]"])
+            encoded.append((ids, full_word_ids, smask))
         live = [e for e in encoded if e is not None]
         results: dict[int, tuple] = {}
         if live:
-            max_len = max(len(ids) for ids, _ in live)
-            tok_rows, attn_rows = [], []
-            for ids, _ in live:
+            max_len = max(len(ids) for ids, _, _ in live)
+            tok_rows, attn_rows, sent_rows = [], [], []
+            for ids, _, smask in live:
                 pad = max_len - len(ids)
                 tok_rows.append(ids + [pad_id] * pad)
                 attn_rows.append([1] * len(ids) + [0] * pad)
+                sent_rows.append(smask + [0] * pad)
             toks_t = torch.tensor(tok_rows, dtype=torch.long)
             attn_t = torch.tensor(attn_rows, dtype=torch.bool)
-            sent_t = torch.tensor(
-                [[0] * max_len for _ in live], dtype=torch.long
-            )
+            sent_t = torch.tensor(sent_rows, dtype=torch.long)
             with torch.no_grad():
                 ner_tags, mod_tags, rel_triplets = self._model(
                     toks_t, attn_t, sent_t
@@ -223,7 +227,7 @@ class TorchJointExtractor:
             for bi, e in enumerate(encoded):
                 if e is None:
                     continue
-                _, full_word_ids = e
+                _, full_word_ids, _ = e
                 results[bi] = self._realign(
                     len(batch_tokens[bi]),
                     full_word_ids,

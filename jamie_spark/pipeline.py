@@ -21,8 +21,10 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 
-def run_extraction(pages: "DataFrame", lang: str = "ja") -> dict:
-    annotations = infer.annotate_pages(pages, lang=lang)
+def run_extraction(
+    pages: "DataFrame", lang: str = "ja", mode: str = "sentence"
+) -> dict:
+    annotations = infer.annotate_pages(pages, lang=lang, mode=mode)
     return {
         "annotations": annotations,
         "mentions": mentions_mod.mentions_from_annotations(annotations),
@@ -35,6 +37,7 @@ def run_kg(
     concept_dict: "DataFrame",
     lang: str = "ja",
     checkpoint_dir: str | None = None,
+    mode: str = "sentence",
 ) -> dict:
     """Full knowledge-graph construction; returns all intermediate tables.
 
@@ -55,12 +58,12 @@ def run_kg(
     if checkpoint_dir is not None:
         spark = pages.sparkSession
         path = os.path.join(checkpoint_dir, "flat_annotations.parquet")
-        infer.annotate_pages_flat(pages, lang=lang).write.mode(
+        infer.annotate_pages_flat(pages, lang=lang, mode=mode).write.mode(
             "overwrite"
         ).parquet(path)
         flat = spark.read.parquet(path)
     else:
-        flat = infer.annotate_pages_flat(pages, lang=lang).persist()
+        flat = infer.annotate_pages_flat(pages, lang=lang, mode=mode).persist()
     ext = {
         "annotations": flat,
         "mentions": mentions_mod.mentions_from_flat(flat),

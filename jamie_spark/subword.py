@@ -158,3 +158,17 @@ def collapse_to_words(
 def within_length_limit(subwords: list[str], limit: int = MAX_SUBWORDS) -> bool:
     """T12: model sequence-length gate (filter BEFORE inference)."""
     return len(subwords) <= limit
+
+
+def document_sent_mask(tokens: list[str], sep_tok: str = "[SEP]") -> list[int]:
+    """B6: alternating 0/1 token_type_ids flipping AFTER each in-band [SEP]
+    (reference ``document_sent_mask`` utils.py:2081-2089) — the sentence mask
+    the doc-level trunk mode feeds the encoder. The [SEP] token itself keeps
+    the pre-flip value, exactly as in the reference."""
+    flip = 0
+    out: list[int] = []
+    for t in tokens:
+        out.append(flip)
+        if t == sep_tok:
+            flip = 1 - flip
+    return out

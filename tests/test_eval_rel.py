@@ -149,3 +149,22 @@ def test_non_span_final_anchor_falls_back_to_single_token(spark):
     r = rows[0]
     assert (r["tail_begin"], r["tail_end"]) == (0, 1)  # fallback
     assert (r["head_begin"], r["head_end"]) == (2, 3)  # real span
+
+
+def test_train_dev_split_per_document(spark):
+    """R9: seeded per-document split — disjoint, exhaustive, document-atomic,
+    deterministic, and near the requested ratio."""
+    rows = [(f"https://d/{i}", s) for i in range(400) for s in range(3)]
+    df = spark.createDataFrame(rows, "url string, sent_id int")
+    train, dev = ev.train_dev_split(df, dev_ratio=0.1, seed=5)
+    n_train, n_dev = train.count(), dev.count()
+    assert n_train + n_dev == len(rows)
+    # document-atomic: no url on both sides
+    both = train.select("url").distinct().join(
+        dev.select("url").distinct(), "url"
+    )
+    assert both.count() == 0
+    assert 0.05 <= n_dev / len(rows) <= 0.17  # ~10% of 400 docs
+    # deterministic
+    t2, d2 = ev.train_dev_split(df, dev_ratio=0.1, seed=5)
+    assert d2.count() == n_dev

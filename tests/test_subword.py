@@ -74,3 +74,12 @@ def test_collapse_roundtrip():
 def test_length_limit():
     assert sw.within_length_limit(["x"] * 510)
     assert not sw.within_length_limit(["x"] * 511)
+
+
+def test_document_sent_mask_flips_at_sep():
+    from jamie_spark.subword import document_sent_mask
+
+    toks = ["[CLS]", "a", "b", "[SEP]", "c", "[SEP]", "d"]
+    # reference utils.py:2081-2089: the [SEP] keeps the pre-flip value
+    assert document_sent_mask(toks) == [0, 0, 0, 0, 1, 1, 0]
+    assert document_sent_mask(["x", "y"]) == [0, 0]
