@@ -108,6 +108,112 @@ def stream_kg(
     )
 
 
+SESSION_GAP_SEC = 1800
+
+
+def stream_sessions(
+    events_stream: "DataFrame",
+    watermark: str = "10 minutes",
+    gap_sec: int = SESSION_GAP_SEC,
+) -> "DataFrame":
+    """Custom STATEFUL streaming operator: per-user session windows with a
+    30-minute inactivity gap via ``applyInPandasWithState`` (the
+    arbitrary-state API the batch twin ``_sessionization`` mirrors with
+    lag + cumulative sum).
+
+    State per user = the one OPEN session (start, last event, count) —
+    bounded by construction. Each micro-batch merges its (sorted) events
+    into the open session, EMITS every session closed by an in-batch gap,
+    and parks the trailing open session in state with an event-time timeout
+    at ``last + gap``; when the watermark passes that point the held
+    session is emitted and the state cleared. Late events beyond the
+    watermark are dropped by the engine — deterministic state bounds at any
+    corpus rate (the same guarantee the watermarked window agg has).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_end timestamp, "
+        "n_events bigint"
+    )
+    state_schema = "start bigint, last bigint, n bigint"
+
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        # state/arithmetic in MICROSECONDS — session bounds must round-trip
+        # bit-exactly against the batch twin's timestamps
+        ts = sorted(
+            int(t.value // 1_000)
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"])
+        )
+        if not ts:
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0
+        closed = {
+            "user_id": [], "session_start": [], "session_end": [],
+            "n_events": [],
+        }
+
+        def close(s, e, c):
+            closed["user_id"].append(user_id)
+            closed["session_start"].append(pd.Timestamp(s, unit="us"))
+            closed["session_end"].append(pd.Timestamp(e, unit="us"))
+            closed["n_events"].append(c)
+
+        for t in ts:
+            if t - last > gap_us and n > 0:
+                close(start, last, n)
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        timeout_ms = (last + gap_us) // 1000 + 1
+        if timeout_ms <= state.getCurrentWatermarkMs():
+            # already overdue (a straggler group processed after the
+            # watermark passed its gap): close it now instead of parking it
+            # with an invalid (past) timeout
+            close(start, last, n)
+            state.remove()
+        else:
+            state.update((start, last, n))
+            # event-time timeout: fire once the watermark passes last + gap
+            state.setTimeoutTimestamp(timeout_ms)
+        if closed["user_id"]:
+            yield pd.DataFrame(closed)
+
+    return (
+        events_stream.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def crawl_rate(
     pages_stream: "DataFrame",
     watermark: str = "10 minutes",

@@ -79,6 +79,90 @@ def test_replayed_micro_batch_is_idempotent(spark, staged_corpus, tmp_path):
     assert streaming.read_stream_output(spark, out).count() == 2 * n1
 
 
+def test_stream_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: every emitted session matches
+    the batch twin exactly, and sessions closed well before the final
+    watermark are all emitted (event-time timeout fired)."""
+    from pyspark.sql import Window
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .where(F.col("user_id") < 200)
+        .select("user_id", "ts", "event_id")
+    )
+    # stage in event-time order so the watermark advances monotonically:
+    # the file source orders by modification time, so each quartile must be
+    # a SEPARATE append (one write job's part files share an mtime and
+    # arrive in arbitrary order — a newest-first batch advances the
+    # watermark past everything else, which is then dropped as late; found
+    # the hard way)
+    import time as _time
+
+    src = str(tmp_path / "ev_in")
+    ranked = events.withColumn("rk", F.percent_rank().over(
+        Window.orderBy("ts", "event_id")))
+    for i in range(4):
+        (ranked.where((F.col("rk") >= i / 4) & (F.col("rk") < (i + 1) / 4 + (1 if i == 3 else 0)))
+               .drop("rk").coalesce(1)
+               .write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.stream_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, session_start, session_end, n_events FROM sess_t"
+        ).collect()
+    }
+    assert emitted, "no sessions emitted"
+
+    # batch twin (same lag + cumulative-sum shape as _sessionization)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(order))
+            > 1800, F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in gapped.groupBy("user_id", "session_id").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        ).collect()
+    }
+    assert emitted <= batch, "stream emitted a session the batch twin lacks"
+    # completeness: sessions whose timeout predates the final watermark
+    max_ts = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    cutoff = max_ts - 600 - 1800  # watermark delay + session gap
+    must_emit = {
+        s for s in batch if int(s[2].timestamp()) + 1800 < cutoff
+    }
+    missing = must_emit - emitted
+    assert not missing, f"{len(missing)} overdue sessions not emitted"
+
+
 def test_crawl_rate_watermarked_window(spark, staged_corpus, tmp_path):
     input_dir, pages = staged_corpus
     stream = streaming.read_page_stream(spark, input_dir)
