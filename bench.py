@@ -199,12 +199,6 @@ def kg_only(cpus: int, n_docs: int) -> None:
 SCALING_PAIR = (4, 16)
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-
-
 def scaling(n_docs: int) -> None:
     """N vs 4N cores on the identical parquet corpus -> BENCH/BASELINE.md.
 
@@ -230,7 +224,9 @@ def scaling(n_docs: int) -> None:
             times[cpus].append(r["sec"])
             rates[cpus].append(r["docs_per_sec"])
             print(line)
-    t_lo, t_hi = _median(times[lo]), _median(times[hi])
+    from statistics import median
+
+    t_lo, t_hi = median(times[lo]), median(times[hi])
     eff = (t_lo / t_hi) / (hi // lo)
     runs_lo = ", ".join(f"{t:.1f}" for t in times[lo])
     runs_hi = ", ".join(f"{t:.1f}" for t in times[hi])

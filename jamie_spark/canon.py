@@ -81,7 +81,9 @@ def _checksum(df: "DataFrame") -> tuple[int, int]:
     return row["n"], row["h"]
 
 
-def _star_components(edges: "DataFrame", max_iter: int = 50) -> "DataFrame":
+def _star_components(
+    edges: "DataFrame", max_iter: int = 50, on_nonconverged: str = "raise"
+) -> "DataFrame":
     """Alternating large-star / small-star -> (vertex, component=min vertex).
 
     Each round:
@@ -93,7 +95,6 @@ def _star_components(edges: "DataFrame", max_iter: int = 50) -> "DataFrame":
     vertex in O(log n) rounds (Kiveris et al.); convergence is detected by
     an order-insensitive checksum of the edge set.
     """
-    spark = edges.sparkSession
     verts = (
         edges.select(F.col("src").alias("vertex"))
         .union(edges.select(F.col("dst").alias("vertex")))
@@ -107,8 +108,10 @@ def _star_components(edges: "DataFrame", max_iter: int = 50) -> "DataFrame":
         .localCheckpoint(eager=True)
     )
     prev = None
+    converged = False
     for _ in range(max_iter):
         if e.isEmpty():
+            converged = True
             break
         # large-star over the symmetric closure
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -139,8 +142,22 @@ def _star_components(edges: "DataFrame", max_iter: int = 50) -> "DataFrame":
         cur = _checksum(e2)
         e = e2
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # same contract as the min-label path: an unconverged edge set can
+        # hold several (u -> v) edges per vertex, which would emit duplicate
+        # conflicting (vertex, component) rows — never return that silently.
+        msg = (
+            f"star connected_components did not converge within {max_iter}"
+            " rounds; components are non-canonical"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     # converged: e holds (vertex -> component-min) star edges; roots map to
     # themselves, isolated vertices cannot occur (every vertex came from an
     # edge), so coalesce covers exactly the roots.
@@ -199,7 +216,9 @@ def connected_components(
         return cc.select(F.col("id").alias("vertex"), F.col("component").cast("string"))
 
     if algorithm == "star":
-        return _star_components(edges, max_iter=max_iter * 2)
+        return _star_components(
+            edges, max_iter=max_iter * 2, on_nonconverged=on_nonconverged
+        )
     if algorithm != "minlabel":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
 

@@ -96,7 +96,14 @@ def xml_doc_to_conll(url: str, xml: str) -> str:
         if r["arg1_tid"] not in tid_anchor or r["arg2_tid"] not in tid_anchor:
             continue
         sid, tail = tid_anchor[r["arg1_tid"]]
-        _, head = tid_anchor[r["arg2_tid"]]
+        head_sid, head = tid_anchor[r["arg2_tid"]]
+        if head_sid != sid:
+            # per-sentence CONLL cannot express a cross-line relation (head
+            # ids are sentence-local token indices); writing arg2's index
+            # under arg1's sentence would point at an unrelated token. Such
+            # pairs only arise from document-level trunk XML; drop them
+            # explicitly rather than corrupt the column.
+            continue
         rl, hl = rels_per_sent[sid].setdefault(tail, ([], []))
         rl.append(r["reltype"])
         hl.append(head)

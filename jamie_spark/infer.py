@@ -94,9 +94,11 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
     One unit per trunk; sent_id = the trunk's FIRST sentence; the extractor
     sees the whole trunk, so relations may cross sentence boundaries —
     exactly the reference's document-level semantics. Each sentence costs
-    len(tokens)+1 in the packing (the joining separator unit — word-level
-    stand-in accounting; the torch provider measures subwords, same
-    approximation direction as the T12 pre-gate).
+    its UNIT length + 1 in the packing (the joining separator), where the
+    unit matches what the T12 gate measures: SUBWORDS when the active
+    extractor has a subword encoder (reference bert_sent_len,
+    utils.py:651-664 — packing by words and gating by subwords would
+    silently drop whole trunks), plain word tokens for the stand-in.
     """
     sent_toks = [tokenize(s) for s in split_sentences(body)]
     if mode == "sentence":
@@ -106,7 +108,12 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
         return
     if mode != "document":
         raise ValueError(f"unknown annotate mode: {mode!r}")
-    lens = [len(t) + 1 for t in sent_toks]
+    if vocab is not None:
+        lens = [
+            len(tokenize_subwords(t, vocab)[0]) + 1 for t in sent_toks
+        ]
+    else:
+        lens = [len(t) + 1 for t in sent_toks]
     for cid, (a, b) in enumerate(chunk_sentences(lens, MAX_SUBWORDS)):
         toks: list[str] = []
         for t in sent_toks[a:b]:
@@ -115,6 +122,49 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
             toks.extend(t)
         if not _over_length(toks, vocab):
             yield a, cid, toks
+
+
+def _collect_units(pdf_rows, mode: str, vocab: set[str] | None) -> list[tuple]:
+    """Phase 1 of an Arrow batch: extract/segment/tokenize every page into
+    (url, sent_id, chunk_id, tokens) units. Per-PAGE error isolation
+    (reference utils.py:844-846): a bad page yields no units, never kills
+    the task."""
+    units: list[tuple] = []
+    for url, html, text in pdf_rows:
+        try:
+            body = text if text else extract_text(html)
+            body = zen_to_han(body)
+            for sent_id, chunk_id, toks in _doc_units(body, mode, vocab):
+                units.append((url, sent_id, chunk_id, toks))
+        except Exception:
+            continue
+    return units
+
+
+def _annotate_units(tagger, unit_toks: list[list[str]]) -> list[tuple]:
+    """Phase 2: ONE model call for the whole Arrow batch when the provider
+    supports it (``annotate_batch`` — the torch path pads once per batch;
+    per-sentence calls would run a batch-of-1 forward each, losing the
+    10-50x CPU batching win). Falls back to per-unit calls with per-unit
+    isolation (a failing unit becomes all-O instead of poisoning the
+    batch)."""
+    batch_fn = getattr(tagger, "annotate_batch", None)
+    if batch_fn is not None:
+        try:
+            return batch_fn(unit_toks)
+        except Exception:
+            pass  # degrade to per-unit isolation
+    out = []
+    for toks in unit_toks:
+        try:
+            out.append(tagger.annotate_sentence(toks))
+        except Exception:
+            n = len(toks)
+            out.append(
+                (["O"] * n, ["_"] * n, [[] for _ in range(n)],
+                 [[] for _ in range(n)])
+            )
+    return out
 
 
 def _make_annotate_batches(mode: str):
@@ -130,53 +180,53 @@ def _make_annotate_batches(mode: str):
                 "url", "sent_id", "chunk_id", "tokens", "ner", "mod", "rels",
                 "heads", "entities", "triples",
             )}
-            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+            units = _collect_units(
+                zip(pdf["url"], pdf["html"], pdf["text"]), mode, vocab
+            )
+            annotated = _annotate_units(tagger, [u[3] for u in units])
+            for (url, sent_id, chunk_id, toks), (ner, mod, rels, heads) in zip(
+                units, annotated
+            ):
                 try:
-                    body = text if text else extract_text(html)
-                    body = zen_to_han(body)
-                    for sent_id, chunk_id, toks in _doc_units(body, mode, vocab):
-                        ner, mod, rels, heads = tagger.annotate_sentence(toks)
-                        spans = bio_to_spans(ner)
-                        entities = [
-                            {
-                                "tag": tag,
-                                "begin": b,
-                                "end": e,
-                                "mod": mod[e - 1],
-                                "surface": "".join(toks[b:e]),
-                            }
-                            for tag, b, e in spans
-                        ]
-                        last = {e - 1: (tag, b, e) for tag, b, e in spans}
-                        triples = []
-                        for tail_id, head_id, rel in rel_triplets(rels, heads):
-                            if tail_id in last and head_id in last:
-                                tt, tb, te = last[tail_id]
-                                ht, hb, he = last[head_id]
-                                triples.append(
-                                    {
-                                        "tail_surface": "".join(toks[tb:te]),
-                                        "head_surface": "".join(toks[hb:he]),
-                                        "rel": rel,
-                                        "tail_tag": tt,
-                                        "head_tag": ht,
-                                        "tail_mod": mod[te - 1],
-                                    }
-                                )
-                        out["url"].append(url)
-                        out["sent_id"].append(sent_id)
-                        out["chunk_id"].append(chunk_id)
-                        out["tokens"].append(toks)
-                        out["ner"].append(ner)
-                        out["mod"].append(mod)
-                        out["rels"].append(rels)
-                        out["heads"].append(heads)
-                        out["entities"].append(entities)
-                        out["triples"].append(triples)
+                    spans = bio_to_spans(ner)
+                    entities = [
+                        {
+                            "tag": tag,
+                            "begin": b,
+                            "end": e,
+                            "mod": mod[e - 1],
+                            "surface": "".join(toks[b:e]),
+                        }
+                        for tag, b, e in spans
+                    ]
+                    last = {e - 1: (tag, b, e) for tag, b, e in spans}
+                    triples = []
+                    for tail_id, head_id, rel in rel_triplets(rels, heads):
+                        if tail_id in last and head_id in last:
+                            tt, tb, te = last[tail_id]
+                            ht, hb, he = last[head_id]
+                            triples.append(
+                                {
+                                    "tail_surface": "".join(toks[tb:te]),
+                                    "head_surface": "".join(toks[hb:he]),
+                                    "rel": rel,
+                                    "tail_tag": tt,
+                                    "head_tag": ht,
+                                    "tail_mod": mod[te - 1],
+                                }
+                            )
                 except Exception:
-                    # per-row error isolation (reference utils.py:844-846): one
-                    # bad page must never kill the job; it yields no sentences.
-                    continue
+                    continue  # per-unit decode isolation
+                out["url"].append(url)
+                out["sent_id"].append(sent_id)
+                out["chunk_id"].append(chunk_id)
+                out["tokens"].append(toks)
+                out["ner"].append(ner)
+                out["mod"].append(mod)
+                out["rels"].append(rels)
+                out["heads"].append(heads)
+                out["entities"].append(entities)
+                out["triples"].append(triples)
             if out["url"]:
                 # never yield an empty frame: pandas types empty columns
                 # float64, which Arrow cannot convert to list<string> (found
@@ -249,30 +299,32 @@ def _make_flat_arrow_batches(mode: str):
             d = rb.to_pydict()
             cols: dict[str, list] = {k: [] for k in names}
             add = [cols[k].append for k in names]
-            for url, html, text in zip(d["url"], d["html"], d["text"]):
+            units = _collect_units(
+                zip(d["url"], d["html"], d["text"]), mode, vocab
+            )
+            annotated = _annotate_units(tagger, [u[3] for u in units])
+            for (url, sid, cid, toks), (ner, mod, rels, heads) in zip(
+                units, annotated
+            ):
                 try:
-                    body = text if text else extract_text(html)
-                    body = zen_to_han(body)
-                    for sid, cid, toks in _doc_units(body, mode, vocab):
-                        ner, mod, rels, heads = tagger.annotate_sentence(toks)
-                        spans = bio_to_spans(ner)
-                        last = {e - 1: (t, b, e) for t, b, e in spans}
-                        for t, b, e in spans:
-                            vals = (url, sid, cid, "m", t, b, e, mod[e - 1],
-                                    "".join(toks[b:e]), None, None, None)
+                    spans = bio_to_spans(ner)
+                    last = {e - 1: (t, b, e) for t, b, e in spans}
+                    for t, b, e in spans:
+                        vals = (url, sid, cid, "m", t, b, e, mod[e - 1],
+                                "".join(toks[b:e]), None, None, None)
+                        for f, v in zip(add, vals):
+                            f(v)
+                    for ti, hi, rel in rel_triplets(rels, heads):
+                        if ti in last and hi in last:
+                            tt, tb, te = last[ti]
+                            ht, hb, he = last[hi]
+                            vals = (url, sid, cid, "t", tt, tb, te,
+                                    mod[te - 1], "".join(toks[tb:te]),
+                                    "".join(toks[hb:he]), ht, rel)
                             for f, v in zip(add, vals):
                                 f(v)
-                        for ti, hi, rel in rel_triplets(rels, heads):
-                            if ti in last and hi in last:
-                                tt, tb, te = last[ti]
-                                ht, hb, he = last[hi]
-                                vals = (url, sid, cid, "t", tt, tb, te,
-                                        mod[te - 1], "".join(toks[tb:te]),
-                                        "".join(toks[hb:he]), ht, rel)
-                                for f, v in zip(add, vals):
-                                    f(v)
                 except Exception:
-                    # per-row error isolation (reference utils.py:844-846)
+                    # per-unit decode isolation (reference utils.py:844-846)
                     continue
             if cols["url"]:
                 yield pa.RecordBatch.from_pydict(

@@ -117,9 +117,11 @@ def stream_sessions(
     gap_sec: int = SESSION_GAP_SEC,
 ) -> "DataFrame":
     """Custom STATEFUL streaming operator: per-user session windows with a
-    30-minute inactivity gap via ``applyInPandasWithState`` (the
-    arbitrary-state API the batch twin ``_sessionization`` mirrors with
-    lag + cumulative sum).
+    30-minute inactivity gap via ``applyInPandasWithState``. The batch twin
+    is the lag + cumulative-sum sessionization computed at MICROSECOND
+    precision (``_sessionization``'s DuckDB-oracle variant truncates to
+    epoch seconds for cross-engine parity; this operator does not — gaps
+    within 1s of the threshold resolve at full event-time precision here).
 
     State per user = the one OPEN session (start, last event, count) —
     bounded by construction. Each micro-batch merges its (sorted) events
@@ -165,10 +167,15 @@ def stream_sessions(
         )
         if not ts:
             return
+        # fold the batch's events AND the parked open session as sorted
+        # intervals (start, end, count): events within the watermark may
+        # PRECEDE the parked session (file sources deliver micro-batches in
+        # arbitrary per-user order), so simply extending `last` would both
+        # miss splits before the parked start and fail to widen the start.
+        items = [(t, t, 1) for t in ts]
         if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = ts[0], ts[0], 0
+            items.append(tuple(state.get))
+        items.sort()
         closed = {
             "user_id": [], "session_start": [], "session_end": [],
             "n_events": [],
@@ -180,12 +187,14 @@ def stream_sessions(
             closed["session_end"].append(pd.Timestamp(e, unit="us"))
             closed["n_events"].append(c)
 
-        for t in ts:
-            if t - last > gap_us and n > 0:
+        start, last, n = items[0]
+        for s, e, c in items[1:]:
+            if s - last > gap_us:
                 close(start, last, n)
-                start, n = t, 0
-            last = max(last, t)
-            n += 1
+                start, last, n = s, e, c
+            else:
+                last = max(last, e)
+                n += c
         timeout_ms = (last + gap_us) // 1000 + 1
         if timeout_ms <= state.getCurrentWatermarkMs():
             # already overdue (a straggler group processed after the

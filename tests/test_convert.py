@@ -90,3 +90,23 @@ def test_cli_converter_modes(spark, ann, tmp_path):
         assert sorted(map(key, got_m)) == sorted(map(key, want_m)), name
         rkey = lambda r: (r["arg1_tid"], r["arg2_tid"], r["reltype"])  # noqa: E731
         assert sorted(map(rkey, got_r)) == sorted(map(rkey, want_r)), name
+
+
+def test_xml2conll_drops_cross_sentence_relations():
+    """Per-sentence CONLL cannot express cross-line relations (doc-level
+    trunk XML can contain them): they must be DROPPED, never written with a
+    foreign sentence's token index."""
+    xml = (
+        '<d tid="T1">肺癌</d>と<a tid="T2">胃</a>を認める。\n'
+        '<a tid="T3">肺</a>の所見。\n'
+        '<brel rid="R1" arg1="T1" arg2="T2" reltype="region" />\n'
+        '<brel rid="R2" arg1="T1" arg2="T3" reltype="region" />\n'
+    )
+    rows = conll.parse_conll(convert.xml_doc_to_conll("u", xml))
+    s0, s1 = rows[0], rows[1]
+    # intra-sentence relation kept: 肺癌 anchor (token 0) -> 胃 anchor
+    anchor = s0["ner"].index("B-d")
+    assert s0["rels"][anchor] == ["region"]
+    assert s0["heads"][anchor] == [s0["tokens"].index("胃")]
+    # cross-sentence relation dropped entirely; sentence 1 untouched
+    assert all(r == ["N"] for i, r in enumerate(s1["rels"]))

@@ -130,13 +130,15 @@ def test_stream_sessions_stateful(spark, tmp_path):
     }
     assert emitted, "no sessions emitted"
 
-    # batch twin (same lag + cumulative-sum shape as _sessionization)
+    # batch twin: lag + cumulative-sum sessionization at MICROSECOND
+    # precision (cast to double epoch — unix_timestamp truncates to seconds
+    # and would mis-split gaps within 1s of the threshold)
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gapped = events.withColumn(
         "new_session",
         F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(order))
-            > 1800, F.lit(1),
+            us - F.lag(us).over(order) > 1800 * 1_000_000, F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(
         "session_id",
