@@ -447,6 +447,14 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.minhash_pairs(_docs(spark, sf_dir), n=3)
 
 
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.near_dup_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.simhash(_docs(spark, sf_dir))
 
@@ -528,6 +536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_minhash_lsh": _minhash_pairs,
+        "dedup_near_pairs": _near_dup_pairs,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _simhash,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "doc_fingerprint": _fingerprints,
@@ -891,7 +901,10 @@ SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM bits
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_cand_ctes() -> str:
+    """shingles/dsh/sig/bands/cand CTE chain (banded-MinHash candidate
+    pairs) — shared by the dedup_minhash_lsh / dedup_near_pairs /
+    dedup_clusters oracles."""
     mh_cols = ", ".join(
         f"MIN(md5('{k}:' || shingle)) AS mh{k}" for k in range(textstats.N_MINHASHES)
     )
@@ -903,15 +916,70 @@ def _minhash_sql() -> str:
         + " AS band_key FROM sig"
         for b in range(textstats.N_MINHASH_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_CTE.strip()},
+    return f"""{_SHINGLES_CTE.strip()},
 dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
 sig AS (SELECT doc_id, {mh_cols} FROM dsh GROUP BY doc_id),
-bands AS ({band_rows})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id
+bands AS ({band_rows}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+    WHERE a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_cand_ctes()}
+SELECT doc_a, doc_b FROM cand
+"""
+
+
+def _verified_pairs_ctes(threshold: float = 0.5) -> str:
+    """cand + exact-Jaccard verification -> vpairs(doc_a, doc_b, jaccard)."""
+    return f"""{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+vinter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+    FROM cand c
+    JOIN dsh a ON a.doc_id = c.doc_a
+    JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY c.doc_a, c.doc_b
+),
+vpairs AS (
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+    FROM vinter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 4) >= {threshold}
+)"""
+
+
+def _near_dup_sql() -> str:
+    return f"""
+WITH {_verified_pairs_ctes()}
+SELECT doc_a, doc_b, jaccard FROM vpairs
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the verified pairs (numeric MIN — matches
+    the Spark side's zero-padded lexicographic min exactly)."""
+    return f"""
+WITH RECURSIVE {_verified_pairs_ctes()},
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM vpairs
+    UNION SELECT doc_b, doc_a FROM vpairs
+),
+reach(v, u) AS (
+    SELECT u, u FROM und
+    UNION
+    SELECT r.v, n.v FROM reach r JOIN und n ON r.u = n.u
+)
+SELECT v AS doc_id, MIN(u) AS cluster_rep,
+       (v = MIN(u)) AS is_keeper
+FROM reach GROUP BY v
 """
 
 
@@ -1271,6 +1339,8 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
 """,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_near_pairs": _near_dup_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         "doc_fingerprint": f"""
 WITH {_SHINGLES_CTE.strip()},

@@ -111,6 +111,8 @@ def main() -> None:
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_near_pairs",
+        "dedup_clusters",
         "dedup_simhash",
         "dedup_embedding_cosine",
         "doc_fingerprint",

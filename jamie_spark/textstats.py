@@ -230,6 +230,81 @@ def minhash_pairs(docs: "DataFrame", n: int = 3) -> "DataFrame":
     )
 
 
+def near_dup_pairs(
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5
+) -> "DataFrame":
+    """(doc_a, doc_b, jaccard) — the COMPOSED dedup scale path: banded
+    MinHash-LSH shortlist (:func:`minhash_pairs`) then exact n-gram Jaccard
+    verification restricted to the candidates.
+
+    This is the shape that survives 10^12 docs: the all-pairs inverted-index
+    join of :func:`ngram_jaccard_pairs` never runs; shingles join only
+    against the (near-linear) candidate pair set. Verified scores are exact,
+    so precision is 1.0 relative to the exact path and recall is the LSH
+    band recall.
+    """
+    cand = minhash_pairs(docs, n)
+    sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "nb")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_clusters(
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5
+) -> "DataFrame":
+    """(doc_id, cluster_rep, is_keeper) — near-duplicate CLUSTERS: connected
+    components over the verified near-dup pairs, keeper = the minimum doc_id
+    of each cluster (what a production dedup actually drops on: transitive
+    duplicate groups, not raw pairs — A~B and B~C must discard two of
+    {A,B,C} even when A~C itself is below threshold).
+
+    Reuses the engine's N4 component machinery (union-find / large-small
+    star at scale) over zero-padded doc-id vertices; only documents that
+    appear in some pair are emitted — everything else is trivially its own
+    keeper.
+    """
+    from .canon import connected_components
+
+    pairs = near_dup_pairs(docs, n, threshold)
+    pad = 12  # lexicographic order == numeric order for non-negative ids
+    edges = pairs.select(
+        F.lpad(F.col("doc_a").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("doc_b").cast("string"), pad, "0").alias("dst"),
+    )
+    cc = connected_components(edges)
+    out = cc.select(
+        F.col("vertex").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_rep"),
+    )
+    return out.withColumn(
+        "is_keeper", (F.col("doc_id") == F.col("cluster_rep"))
+    )
+
+
 def simhash(docs: "DataFrame") -> "DataFrame":
     """(doc_id, simhash) — 16-bit SimHash over word md5s (majority per bit).
 

@@ -34,3 +34,51 @@ def test_cap_keeps_low_df_pairs(spark):
     pairs = textstats.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=5)
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs.collect()}
     assert got == {(100, 101): 1.0}
+
+
+def test_dedup_clusters_transitive(spark):
+    """Near-dup CLUSTERS are transitive: 1~2 and 2~3 above threshold merge
+    {1,2,3} into one cluster with keeper=1 even though 1~3 alone scores
+    0.25 (< threshold); unrelated and unpaired docs stay out."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f g h"),        # ~1 at 0.667
+            (3, "c d e f g h j k"),        # ~2 at 0.5, ~1 at 0.25
+            (4, "p q r s t u"),
+            (5, "p q r s t u"),            # exact dup pair {4,5}
+            (9, "z z z unique document"),  # no pairs -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_rep"], r["is_keeper"])
+        for r in textstats.dedup_clusters(docs, n=3, threshold=0.5).collect()
+    }
+    assert rows == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (4, False),
+    }
+
+
+def test_near_dup_pairs_match_exact_on_candidates(spark):
+    """Verified shortlist pairs are a subset of the exact path with EQUAL
+    jaccard scores (the composition changes recall, never precision)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z common tail {i % 4}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textstats.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.3
+        ).collect()
+    }
+    composed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textstats.near_dup_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert set(composed) <= set(exact)
+    for k, v in composed.items():
+        assert exact[k] == v
+    assert composed, "composition found no pairs on a near-dup-rich corpus"
