@@ -448,11 +448,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.near_dup_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return textstats.near_dup_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=_NGRAM_MAX_DF
+    )
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return textstats.dedup_clusters(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=_NGRAM_MAX_DF
+    )
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,14 +940,20 @@ SELECT doc_a, doc_b FROM cand
 
 
 def _verified_pairs_ctes(threshold: float = 0.5) -> str:
-    """cand + exact-Jaccard verification -> vpairs(doc_a, doc_b, jaccard)."""
+    """cand + exact-Jaccard verification -> vpairs(doc_a, doc_b, jaccard).
+    The verification universe applies the same document-frequency cap as
+    the exact path (textstats.near_dup_pairs max_df)."""
     return f"""{_minhash_cand_ctes()},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+vheavy AS (
+    SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) > {_NGRAM_MAX_DF}
+),
+vdsh AS (SELECT * FROM dsh WHERE shingle NOT IN (SELECT shingle FROM vheavy)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM vdsh GROUP BY doc_id),
 vinter AS (
     SELECT c.doc_a, c.doc_b, COUNT(*) AS i
     FROM cand c
-    JOIN dsh a ON a.doc_id = c.doc_a
-    JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    JOIN vdsh a ON a.doc_id = c.doc_a
+    JOIN vdsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
     GROUP BY c.doc_a, c.doc_b
 ),
 vpairs AS (

@@ -158,6 +158,10 @@ def _star_components(
         import logging
 
         logging.getLogger(__name__).warning(msg)
+        # an unconverged star set can hold several (u -> v) rows per vertex;
+        # the caller opted into APPROXIMATE labels, not a shape-invalid
+        # result — reduce to one (minimum) label per vertex.
+        e = e.groupBy("u").agg(F.min("v").alias("v"))
     # converged: e holds (vertex -> component-min) star edges; roots map to
     # themselves, isolated vertices cannot occur (every vertex came from an
     # edge), so coalesce covers exactly the roots.

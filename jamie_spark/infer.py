@@ -115,13 +115,19 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
     else:
         lens = [len(t) + 1 for t in sent_toks]
     for cid, (a, b) in enumerate(chunk_sentences(lens, MAX_SUBWORDS)):
+        # trunk length from the cached per-sentence unit counts: each len
+        # already carries +1 for a separator and the trunk joins k
+        # sentences with k-1 [SEP]s (1 subword each), so the trunk measures
+        # sum(lens) - 1 in the SAME unit the packing used — no second
+        # WordPiece pass over the concatenated tokens.
+        if sum(lens[a:b]) - 1 > MAX_SUBWORDS:
+            continue  # a single oversized sentence became its own trunk
         toks: list[str] = []
         for t in sent_toks[a:b]:
             if toks:
                 toks.append(SEP)
             toks.extend(t)
-        if not _over_length(toks, vocab):
-            yield a, cid, toks
+        yield a, cid, toks
 
 
 def _collect_units(pdf_rows, mode: str, vocab: set[str] | None) -> list[tuple]:
@@ -141,19 +147,36 @@ def _collect_units(pdf_rows, mode: str, vocab: set[str] | None) -> list[tuple]:
     return units
 
 
+#: units per model forward when the provider batches. Bounds the padded
+#: tensor (an unbounded Arrow batch of 10k pages could yield 10^5 units ->
+#: a 10^5 x 512 tensor and an OOM-killed python worker the except can't
+#: catch); sub-batches also pad tighter. CPU BERT throughput plateaus well
+#: below this.
+MODEL_SUBBATCH = 32
+
+
 def _annotate_units(tagger, unit_toks: list[list[str]]) -> list[tuple]:
-    """Phase 2: ONE model call for the whole Arrow batch when the provider
-    supports it (``annotate_batch`` — the torch path pads once per batch;
-    per-sentence calls would run a batch-of-1 forward each, losing the
-    10-50x CPU batching win). Falls back to per-unit calls with per-unit
-    isolation (a failing unit becomes all-O instead of poisoning the
-    batch)."""
+    """Phase 2: batched model calls when the provider supports them
+    (``annotate_batch``, ``MODEL_SUBBATCH`` units per forward — per-sentence
+    calls would run a batch-of-1 forward each, losing the 10-50x CPU
+    batching win). Falls back to per-unit calls with per-unit isolation
+    (a failing unit becomes all-O instead of poisoning the batch); the
+    first fallback per worker is LOGGED — a deterministic bug in the
+    batched path must not silently halve throughput forever."""
     batch_fn = getattr(tagger, "annotate_batch", None)
     if batch_fn is not None:
         try:
-            return batch_fn(unit_toks)
+            out = []
+            for i in range(0, len(unit_toks), MODEL_SUBBATCH):
+                out.extend(batch_fn(unit_toks[i : i + MODEL_SUBBATCH]))
+            return out
         except Exception:
-            pass  # degrade to per-unit isolation
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "annotate_batch failed; degrading to per-unit inference",
+                exc_info=True,
+            )
     out = []
     for toks in unit_toks:
         try:

@@ -231,7 +231,8 @@ def minhash_pairs(docs: "DataFrame", n: int = 3) -> "DataFrame":
 
 
 def near_dup_pairs(
-    docs: "DataFrame", n: int = 3, threshold: float = 0.5
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> "DataFrame":
     """(doc_a, doc_b, jaccard) — the COMPOSED dedup scale path: banded
     MinHash-LSH shortlist (:func:`minhash_pairs`) then exact n-gram Jaccard
@@ -239,12 +240,20 @@ def near_dup_pairs(
 
     This is the shape that survives 10^12 docs: the all-pairs inverted-index
     join of :func:`ngram_jaccard_pairs` never runs; shingles join only
-    against the (near-linear) candidate pair set. Verified scores are exact,
-    so precision is 1.0 relative to the exact path and recall is the LSH
-    band recall.
+    against the (near-linear) candidate pair set. The verification universe
+    applies the SAME ``max_df`` boilerplate-shingle cap as the exact path —
+    scores are therefore identical to :func:`ngram_jaccard_pairs` on every
+    shortlisted pair (precision 1.0; recall = LSH band recall).
     """
     cand = minhash_pairs(docs, n)
     sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    heavy = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(
@@ -274,7 +283,8 @@ def near_dup_pairs(
 
 
 def dedup_clusters(
-    docs: "DataFrame", n: int = 3, threshold: float = 0.5
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> "DataFrame":
     """(doc_id, cluster_rep, is_keeper) — near-duplicate CLUSTERS: connected
     components over the verified near-dup pairs, keeper = the minimum doc_id
@@ -289,8 +299,11 @@ def dedup_clusters(
     """
     from .canon import connected_components
 
-    pairs = near_dup_pairs(docs, n, threshold)
-    pad = 12  # lexicographic order == numeric order for non-negative ids
+    pairs = near_dup_pairs(docs, n, threshold, max_df)
+    # lexicographic order == numeric order for non-negative ids; 20 digits
+    # covers the full int64 range (12 would TRUNCATE 13+-digit ids and
+    # silently collide vertices at exactly the 10^12+ scale this targets)
+    pad = 20
     edges = pairs.select(
         F.lpad(F.col("doc_a").cast("string"), pad, "0").alias("src"),
         F.lpad(F.col("doc_b").cast("string"), pad, "0").alias("dst"),
