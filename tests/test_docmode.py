@@ -137,3 +137,27 @@ def test_xml_round_trip_doc_mode(spark, doc_ann):
             e["surface"] for row in ann for e in row["entities"]
         )
         assert got == want, r["url"]
+
+
+def test_doc_units_pack_by_subwords_when_vocab_present():
+    """With a subword-encoder provider, trunk packing measures SUBWORDS
+    (reference bert_sent_len): a vocab that fragments every word must
+    produce more, smaller trunks than word-count packing — and never drop
+    sentences (packing by words while gating by subwords used to)."""
+    from jamie_spark.infer import _doc_units
+
+    # vocab with only single-char pieces: every k-char word -> k subwords
+    vocab = {c for c in "abcdefghij"} | {"##" + c for c in "abcdefghij"}
+    body = "。".join("abcdefghij " * 25 for _ in range(4))  # 4 long sentences
+    word_units = list(_doc_units(body, "document", None))
+    sbw_units = list(_doc_units(body, "document", vocab))
+    # no sentence lost in either mode
+    from jamie_spark.textnorm import SEP
+
+    def n_sents(units):
+        return sum(list(toks).count(SEP) + 1 for _, _, toks in units)
+
+    assert n_sents(word_units) == n_sents(sbw_units) == 4
+    # subword accounting: each 10-char word = 10 subwords -> sentences are
+    # ~10x longer in subword units, forcing more trunks
+    assert len(sbw_units) > len(word_units)
