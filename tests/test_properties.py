@@ -150,3 +150,90 @@ def test_width_roundtrip(s):
     """zen_to_han is exactly inverted by han_to_zen on the full-width block."""
     z = han_to_zen(s)
     assert han_to_zen(zen_to_han(z)) == z
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=600), max_size=30),
+    st.integers(min_value=1, max_value=510),
+)
+@settings(max_examples=300)
+def test_chunk_sentences_tiles_exactly(lens, max_len):
+    """T11 invariants for ANY length profile: chunks tile [0, n) exactly in
+    order, every chunk is non-empty, and a chunk only exceeds max_len when
+    it holds a single (oversized) sentence."""
+    from jamie_spark.tokenizer import chunk_sentences
+
+    chunks = chunk_sentences(lens, max_len)
+    if not lens:
+        assert chunks == []
+        return
+    assert chunks[0][0] == 0 and chunks[-1][1] == len(lens)
+    for (a, b), (c, _) in zip(chunks, chunks[1:]):
+        assert b == c
+    for a, b in chunks:
+        assert b > a
+        if b - a > 1:
+            assert sum(lens[a:b]) <= max_len
+
+
+@st.composite
+def conll_doc(draw):
+    sents = []
+    for sid in range(draw(st.integers(min_value=1, max_value=4))):
+        n = draw(st.integers(min_value=1, max_value=8))
+        toks = [
+            draw(st.sampled_from(["肺癌", "を", "ab", "[JASP]", "x1", "。"]))
+            for _ in range(n)
+        ]
+        ner = [
+            draw(st.sampled_from(["O", "B-d", "I-d", "B-a"])) for _ in range(n)
+        ]
+        mods = [draw(st.sampled_from(["_", "positive"])) for _ in range(n)]
+        rels, heads = [], []
+        for i in range(n):
+            k = draw(st.integers(min_value=0, max_value=2))
+            rels.append([draw(st.sampled_from(["region", "value"])) for _ in range(k)])
+            heads.append([draw(st.integers(min_value=0, max_value=n - 1)) for _ in range(k)])
+        sents.append((sid, toks, ner, mods, rels, heads))
+    return sents
+
+
+@given(conll_doc())
+@settings(max_examples=200, deadline=None)
+def test_conll_roundtrip_property(sents):
+    """CONLL writer -> parser is the identity for arbitrary annotations
+    (modulo the writer's null-cell padding ['N']/[i] for empty relation
+    lists), including in-band [JASP] tokens."""
+    from jamie_spark import conll
+
+    lines = ["#doc u"]
+    for sid, toks, ner, mods, rels, heads in sents:
+        lines.append(f"## line {sid}")
+        lines.extend(conll.sentence_to_conll_lines(toks, ner, mods, rels, heads))
+    rows = conll.parse_conll("\n".join(lines) + "\n")
+    assert len(rows) == len(sents)
+    for row, (sid, toks, ner, mods, rels, heads) in zip(rows, sents):
+        assert row["sent_id"] == sid
+        assert row["tokens"] == toks
+        assert row["ner"] == ner
+        assert row["mod"] == mods
+        for i in range(len(toks)):
+            want = (rels[i], heads[i]) if rels[i] else (["N"], [i])
+            assert (row["rels"][i], row["heads"][i]) == want
+
+
+@given(st.lists(st.sampled_from(["[SEP]", "a", "bb", "[CLS]"]), max_size=20))
+@settings(max_examples=300)
+def test_document_sent_mask_properties(toks):
+    """B6 invariants: 0/1 values, same length, flips exactly AFTER each
+    [SEP] and nowhere else."""
+    from jamie_spark.subword import document_sent_mask
+
+    m = document_sent_mask(toks)
+    assert len(m) == len(toks)
+    assert set(m) <= {0, 1}
+    for i in range(1, len(toks)):
+        if toks[i - 1] == "[SEP]":
+            assert m[i] == 1 - m[i - 1]
+        else:
+            assert m[i] == m[i - 1]
