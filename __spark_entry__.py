@@ -433,6 +433,10 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
+def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_filter(_docs(spark, sf_dir))
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.dedup_exact(_docs(spark, sf_dir))
 
@@ -537,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,
         "text_quality": _quality,
         "lang_id": _lang_id,
+        "quality_filter": _quality_filter,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _ngram_jaccard,
         "dedup_minhash_lsh": _minhash_pairs,
@@ -1322,6 +1327,25 @@ SELECT doc_id,
 FROM w
 """,
         "lang_id": _lang_id_sql(),
+        "quality_filter": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+q AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                 / len(ws), 4) AS avg_word_len,
+           round(CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS DOUBLE)
+                 / len(ws), 4) AS stop_ratio
+    FROM w
+)
+SELECT doc_id, n_tokens, avg_word_len, stop_ratio,
+       (n_tokens >= {textstats.QUALITY_RULES['min_tokens']}
+        AND n_tokens <= {textstats.QUALITY_RULES['max_tokens']}
+        AND avg_word_len >= {textstats.QUALITY_RULES['min_avg_word_len']}
+        AND avg_word_len <= {textstats.QUALITY_RULES['max_avg_word_len']}
+        AND stop_ratio >= {textstats.QUALITY_RULES['min_stop_ratio']}) AS keep
+FROM q
+""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash,
        CAST(COUNT(*) AS BIGINT) AS dup_count,

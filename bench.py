@@ -108,6 +108,7 @@ def main() -> None:
         "token_counts",
         "text_quality",
         "lang_id",
+        "quality_filter",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

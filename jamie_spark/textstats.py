@@ -94,6 +94,40 @@ def lang_id(docs: "DataFrame") -> "DataFrame":
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
+#: Gopher-style quality rule bounds (Rae et al. 2021 §A1.1 shape; the
+#: numbers are corpus-tunable knobs, single-sourced here for the Spark
+#: entry AND its DuckDB oracle)
+QUALITY_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_avg_word_len": 2.0,
+    "max_avg_word_len": 12.0,
+    "min_stop_ratio": 0.02,
+}
+
+
+def quality_filter(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, n_tokens, avg_word_len, stop_ratio, keep) — the Gopher-rule
+    boolean filter composed over :func:`quality_scores`: documents outside
+    the token-count / mean-word-length bounds or under the stopword-ratio
+    floor are flagged for removal. Pure column arithmetic on the existing
+    signals — one scan, whole-stage codegen, trivially linear at any
+    corpus size."""
+    r = QUALITY_RULES
+    q = quality_scores(docs)
+    keep = (
+        (F.col("n_tokens") >= r["min_tokens"])
+        & (F.col("n_tokens") <= r["max_tokens"])
+        & (F.col("avg_word_len") >= r["min_avg_word_len"])
+        & (F.col("avg_word_len") <= r["max_avg_word_len"])
+        & (F.col("stop_ratio") >= r["min_stop_ratio"])
+    )
+    return q.select(
+        "doc_id", "n_tokens", "avg_word_len", "stop_ratio",
+        keep.alias("keep"),
+    )
+
+
 def dedup_exact(docs: "DataFrame") -> "DataFrame":
     """(text_hash, dup_count, keeper_doc_id) — exact dedup groups by md5."""
     return (
