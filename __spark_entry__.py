@@ -425,6 +425,10 @@ def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def _token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts_bpe(_docs(spark, sf_dir))
+
+
 def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(_docs(spark, sf_dir))
 
@@ -539,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
         "token_counts": _token_counts,
+        "token_counts_bpe": _token_counts_bpe,
         "text_quality": _quality,
         "lang_id": _lang_id,
         "quality_filter": _quality_filter,
@@ -1313,6 +1318,13 @@ FROM events GROUP BY 1, 2
 """,
         "token_counts": """
 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+        "token_counts_bpe": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_PATTERN}'))
+            AS BIGINT) AS n_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
 FROM documents
 """,
         "text_quality": f"""

@@ -184,6 +184,50 @@ def extract_features(media: "DataFrame", dim: int = 16) -> "DataFrame":
     )
 
 
+def resize_images(
+    media: "DataFrame", out_w: int = 8, out_h: int = 8
+) -> "DataFrame":
+    """Nearest-neighbor resize of image payloads -> fixed-dim pixel rows
+    (the preprocessing shape a vision encoder consumes). Runs on the stub
+    container format; a PIL-backed resize drops into the same loop (see
+    ``_decode_image_real``) without touching schema or plan. Per-row
+    isolation: non-images and corrupt payloads yield no row."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if (
+                    kind != "image"
+                    or payload is None
+                    or len(payload) < 8
+                    or payload[:4] != b"JMIM"
+                ):
+                    continue
+                w, h = struct.unpack(">HH", payload[4:8])
+                body = payload[8 : 8 + w * h]
+                if len(body) < w * h or w == 0 or h == 0:
+                    continue
+                resized = bytearray(out_w * out_h)
+                for y in range(out_h):
+                    sy = y * h // out_h
+                    row = sy * w
+                    for x in range(out_w):
+                        resized[y * out_w + x] = body[row + x * w // out_w]
+                out["media_id"].append(mid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["pixels"].append(bytes(resized))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema="media_id long, width int, height int, pixels binary"
+    )
+
+
 def sample_frames(media: "DataFrame", every: int = 1) -> "DataFrame":
     """Frame sampling for video payloads: one output row per kept frame."""
 

@@ -50,6 +50,27 @@ def token_counts(docs: "DataFrame") -> "DataFrame":
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs / digit runs / single punctuation —
+#: the GPT-style split whose piece count tracks BPE token counts far better
+#: than whitespace does ("don't" -> 3, "2024-01" -> 3). Deliberately
+#: restricted to constructs Java regex (Spark) and RE2 (DuckDB) treat
+#: identically.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts_bpe(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, n_tokens, n_ws_tokens) — BPE-ish regex token counting next
+    to the whitespace count (the brief's 'whitespace + a BPE-ish regex'
+    pair). JVM-side ``regexp_extract_all`` — one codegen'd scan."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+        ).cast("long").alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
 def quality_scores(docs: "DataFrame") -> "DataFrame":
     """(doc_id, n_tokens, n_chars, stop_ratio, avg_word_len) — quality scoring.
 

@@ -82,3 +82,25 @@ def test_frame_sampling_corrupt_video_isolated(spark):
 def test_real_codec_slot_raises_cleanly():
     with pytest.raises(NotImplementedError):
         mm._decode_image_real(b"JMIM....")
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Resize: fixed output dims, deterministic nearest-neighbor sampling
+    (spot-checked against the source pixels), non-images skipped."""
+    from jamie_spark import multimodal as mm
+    import struct
+
+    media = mm.media_df(spark, 9, seed=1)
+    out = {r["media_id"]: r for r in mm.resize_images(media, 4, 4).collect()}
+    src = {r["media_id"]: r for r in media.collect() if r["kind"] == "image"}
+    assert set(out) == set(src)  # every image, nothing else
+    for mid, r in out.items():
+        assert (r["width"], r["height"]) == (4, 4)
+        assert len(r["pixels"]) == 16
+        payload = bytes(src[mid]["payload"])
+        w, h = struct.unpack(">HH", payload[4:8])
+        body = payload[8:]
+        for y in range(4):
+            for x in range(4):
+                sy, sx = y * h // 4, x * w // 4
+                assert r["pixels"][y * 4 + x] == body[sy * w + sx], (mid, x, y)
