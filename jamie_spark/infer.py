@@ -58,14 +58,25 @@ ANNOTATIONS_DDL = (
 
 STAGE_VERSION = f"{TOKENIZER_VERSION}+{MODEL_VERSION}"
 
-def _get_tagger():
-    """Per-python-worker model resolution (reference analog: the single
-    in-process model of clinical_joint.py). Provider selection + memoization
-    live in jamie_spark.models — set JAMIE_MODEL=torch:<dir> on executors to
-    swap in the real artifact behind the same contract."""
+def _resolve_model_spec(spec: str | None) -> str:
+    """Resolve the model spec ON THE DRIVER at plan time. Reading JAMIE_MODEL
+    inside the worker instead is a silent-wrong-model trap: reused executor
+    python workers keep the environment they were launched with, so a spec
+    set only in the driver process never reaches them and the stand-in runs
+    without a whisper (pinned by
+    tests/test_models.py::test_torch_spec_without_torch_fails_fast...)."""
+    import os
+
+    return spec or os.environ.get("JAMIE_MODEL", "standin")
+
+
+def _get_tagger(spec: str):
+    """Per-python-worker model construction + memoization (reference analog:
+    the single in-process model of clinical_joint.py); the spec itself was
+    resolved driver-side and shipped by closure."""
     from .models import get_extractor
 
-    return get_extractor()
+    return get_extractor(spec)
 
 
 def _over_length(toks: list[str], subword_vocab: set[str] | None) -> bool:
@@ -190,13 +201,13 @@ def _annotate_units(tagger, unit_toks: list[list[str]]) -> list[tuple]:
     return out
 
 
-def _make_annotate_batches(mode: str):
+def _make_annotate_batches(mode: str, spec: str):
     def _annotate_batches(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
         from .bio import bio_to_spans, rel_triplets
 
-        tagger = _get_tagger()
+        tagger = _get_tagger(spec)
         vocab = getattr(tagger, "subword_vocab", None)
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
@@ -260,7 +271,8 @@ def _make_annotate_batches(mode: str):
 
 
 def annotate_pages(
-    pages: "DataFrame", lang: str = "ja", mode: str = "sentence"
+    pages: "DataFrame", lang: str = "ja", mode: str = "sentence",
+    model_spec: str | None = None,
 ) -> "DataFrame":
     """pages -> per-unit annotations (the M1 stage, full nested output).
 
@@ -281,7 +293,8 @@ def annotate_pages(
     """
     filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
     return filtered.mapInPandas(
-        _make_annotate_batches(mode), schema=ANNOTATIONS_DDL
+        _make_annotate_batches(mode, _resolve_model_spec(model_spec)),
+        schema=ANNOTATIONS_DDL,
     )
 
 
@@ -294,7 +307,7 @@ FLAT_DDL = (
 )
 
 
-def _make_flat_arrow_batches(mode: str):
+def _make_flat_arrow_batches(mode: str, spec: str):
     def _flat_arrow_batches(batches):
         """pages Arrow batches -> flat mention/triple rows as Arrow batches.
 
@@ -308,7 +321,7 @@ def _make_flat_arrow_batches(mode: str):
 
         from .bio import bio_to_spans, rel_triplets
 
-        tagger = _get_tagger()
+        tagger = _get_tagger(spec)
         vocab = getattr(tagger, "subword_vocab", None)
         names = (
             "url", "sent_id", "chunk_id", "kind", "tag", "begin", "end",
@@ -359,13 +372,17 @@ def _make_flat_arrow_batches(mode: str):
 
 
 def annotate_pages_flat(
-    pages: "DataFrame", lang: str = "ja", mode: str = "sentence"
+    pages: "DataFrame", lang: str = "ja", mode: str = "sentence",
+    model_spec: str | None = None,
 ) -> "DataFrame":
     """pages -> flat mention/triple rows (production hot path, mapInArrow).
 
-    ``mode`` as in :func:`annotate_pages`."""
+    ``mode`` / ``model_spec`` as in :func:`annotate_pages`."""
     filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
-    return filtered.mapInArrow(_make_flat_arrow_batches(mode), schema=FLAT_DDL)
+    return filtered.mapInArrow(
+        _make_flat_arrow_batches(mode, _resolve_model_spec(model_spec)),
+        schema=FLAT_DDL,
+    )
 
 
 def extraction_only(pages: "DataFrame") -> "DataFrame":
