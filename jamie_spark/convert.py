@@ -22,6 +22,7 @@ Semantics:
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from typing import TYPE_CHECKING
 
 import pandas as pd
@@ -72,18 +73,20 @@ def xml_doc_to_conll(url: str, xml: str) -> str:
 
     for m in mentions:
         sid = m["sent_id"]
+        if sid >= len(sents):
+            continue
         toks = sents[sid]
         starts = _token_starts(sid)
         if m["begin_char"] not in starts:
             continue
         begin_tok = starts.index(m["begin_char"])
-        n_chars = len(m["surface"])
-        end_tok = begin_tok
-        consumed = 0
-        while consumed < n_chars and end_tok < len(toks):
-            t = toks[end_tok]
-            consumed += len("　" if t == "[JASP]" else t)
-            end_tok += 1
+        # span end by CHAR OFFSET, not by summing token lengths: the surface
+        # is a raw-text slice that may contain whitespace the tokenizer
+        # dropped, so length-walking tokens would overshoot past the span
+        end_char = m["begin_char"] + len(m["surface"])
+        end_tok = bisect_left(starts, end_char)
+        if end_tok <= begin_tok:
+            continue
         spans_per_sent[sid].append((m["tag"], begin_tok, end_tok))
         if m["mod"] != "_":
             mods_per_sent[sid][end_tok - 1] = m["mod"]
@@ -156,19 +159,23 @@ def conll_doc_to_xml(conll_text: str) -> tuple[str, str]:
 
 
 def xml_to_conll(docs: "DataFrame") -> "DataFrame":
-    """(url, xml) -> (url, conll), one Arrow stage."""
+    """(url, xml) -> (url, conll), one Arrow stage. Per-DOCUMENT error
+    isolation (same contract as the inference path, reference
+    utils.py:844-846): one malformed file is skipped, never kills a batch
+    conversion job."""
 
     def run(batches):
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "conll": [
-                        xml_doc_to_conll(u, x)
-                        for u, x in zip(pdf["url"], pdf["xml"])
-                    ],
-                }
-            )
+            out = {"url": [], "conll": []}
+            for u, x in zip(pdf["url"], pdf["xml"]):
+                try:
+                    c = xml_doc_to_conll(u, x)
+                except Exception:
+                    continue
+                out["url"].append(u)
+                out["conll"].append(c)
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     return docs.select("url", "xml").mapInPandas(
         run, schema="url string, conll string"
@@ -176,17 +183,21 @@ def xml_to_conll(docs: "DataFrame") -> "DataFrame":
 
 
 def conll_to_xml(docs: "DataFrame") -> "DataFrame":
-    """(url, conll) -> (url, xml), one Arrow stage."""
+    """(url, conll) -> (url, xml), one Arrow stage; per-document error
+    isolation as in :func:`xml_to_conll`."""
 
     def run(batches):
         for pdf in batches:
-            pairs = [conll_doc_to_xml(c) for c in pdf["conll"]]
-            yield pd.DataFrame(
-                {
-                    "url": [u or orig for (u, _), orig in zip(pairs, pdf["url"])],
-                    "xml": [x for _, x in pairs],
-                }
-            )
+            out = {"url": [], "xml": []}
+            for orig, c in zip(pdf["url"], pdf["conll"]):
+                try:
+                    u, x = conll_doc_to_xml(c)
+                except Exception:
+                    continue
+                out["url"].append(u or orig)
+                out["xml"].append(x)
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     return docs.select("url", "conll").mapInPandas(
         run, schema="url string, xml string"

@@ -216,19 +216,32 @@ def eval_rel_relax(gold_tok: "DataFrame", pred_tok: "DataFrame") -> dict:
 def mhs_eval(gold_ann: "DataFrame", pred_ann: "DataFrame") -> dict:
     """The full E3 battery over two annotation tables (MhsEvaluator,
     reference clinical_eval.py:111-149): ner, mod, rel_strict, rel_relax,
-    rel_mention — each an independent multiset P/R/F1."""
+    rel_mention — each an independent multiset P/R/F1.
+
+    The five metrics each collect() their own counts, so the inputs are
+    persisted for the battery — without this, an annotation table fed
+    straight from the inference stage would re-run the model once per
+    metric (~5x the dominant cost)."""
     from . import mentions as m
 
-    out = eval_mentions(
-        m.mentions_from_annotations(gold_ann), m.mentions_from_annotations(pred_ann)
-    )
-    out["rel_strict"] = eval_rel_strict(
-        m.detailed_triples(gold_ann), m.detailed_triples(pred_ann)
-    )
-    out["rel_relax"] = eval_rel_relax(
-        m.rel_token_triples(gold_ann), m.rel_token_triples(pred_ann)
-    )
-    out["rel_mention"] = eval_triples(
-        m.triples_from_annotations(gold_ann), m.triples_from_annotations(pred_ann)
-    )
+    gold_ann = gold_ann.persist()
+    pred_ann = pred_ann.persist()
+    try:
+        out = eval_mentions(
+            m.mentions_from_annotations(gold_ann),
+            m.mentions_from_annotations(pred_ann),
+        )
+        out["rel_strict"] = eval_rel_strict(
+            m.detailed_triples(gold_ann), m.detailed_triples(pred_ann)
+        )
+        out["rel_relax"] = eval_rel_relax(
+            m.rel_token_triples(gold_ann), m.rel_token_triples(pred_ann)
+        )
+        out["rel_mention"] = eval_triples(
+            m.triples_from_annotations(gold_ann),
+            m.triples_from_annotations(pred_ann),
+        )
+    finally:
+        gold_ann.unpersist()
+        pred_ann.unpersist()
     return out

@@ -111,8 +111,14 @@ class TorchJointExtractor:
         for name in ("ner2ix", "mod2ix", "rel2ix"):
             with open(_os.path.join(model_dir, f"{name}.json")) as fi:
                 self._vocabs[name] = json.load(fi)
+        # weights_only=False explicitly: the reference saves the WHOLE
+        # pickled module (clinical_joint.py:467 torch.save(model, ...)), and
+        # torch >= 2.6 defaults weights_only=True which refuses such
+        # artifacts. The model dir is a trusted deployment artifact.
         self._model = torch.load(
-            _os.path.join(model_dir, "model.pt"), map_location="cpu"
+            _os.path.join(model_dir, "model.pt"),
+            map_location="cpu",
+            weights_only=False,
         )
         self._model.eval()
         self.subword_vocab = set(self._tokenizer.get_vocab())

@@ -451,9 +451,17 @@ def lsh_topk(
     payloads in the shuffle), then ONE join attaches neighbor embeddings and
     the tiny query side arrives by broadcast.
     """
+    # query-side signatures computed from the TINY query subset (broadcast)
+    # rather than by filtering the corpus signature stage: the latter gives
+    # the two join sides different subplans above the mapInArrow node, so
+    # exchange reuse can't collapse them and the full-corpus GEMM + scan
+    # would execute twice. Signatures are per-row deterministic — both
+    # derivations bucket identically.
     sig = bucket_signatures(embeddings, n_planes, n_tables)
-    qsig = sig.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), "table_id", "bucket"
+    qsig = F.broadcast(
+        bucket_signatures(
+            embeddings.where(F.col("vec_id") < n_queries), n_planes, n_tables
+        ).withColumnRenamed("vec_id", "query_id")
     )
     cand = (
         qsig.join(sig.withColumnRenamed("vec_id", "neighbor_id"),

@@ -123,14 +123,18 @@ def stream_sessions(
     epoch seconds for cross-engine parity; this operator does not — gaps
     within 1s of the threshold resolve at full event-time precision here).
 
-    State per user = the one OPEN session (start, last event, count) —
-    bounded by construction. Each micro-batch merges its (sorted) events
-    into the open session, EMITS every session closed by an in-batch gap,
-    and parks the trailing open session in state with an event-time timeout
-    at ``last + gap``; when the watermark passes that point the held
-    session is emitted and the state cleared. Late events beyond the
-    watermark are dropped by the engine — deterministic state bounds at any
-    corpus rate (the same guarantee the watermarked window agg has).
+    Finalization follows the watermark, exactly like Spark's built-in
+    ``session_window``: a session is EMITTED only once
+    ``last_event + gap <= watermark`` — i.e. once no still-admissible late
+    event could extend or merge it. (Emitting on the in-batch gap alone is
+    wrong: an out-of-order event inside the watermark can belong to a
+    session between two already-seen ones.) State per user = the PENDING
+    sessions (those the watermark hasn't sealed), held as parallel arrays;
+    each batch merges its events with the pending set as sorted intervals,
+    emits the newly sealed prefix, and re-arms the event-time timeout at
+    the earliest pending ``last + gap``. State stays bounded: a pending
+    session by definition has ``last > watermark - gap``, so the window of
+    pending data per user is at most watermark delay + gap.
     """
     import pandas as pd
 
@@ -140,23 +144,59 @@ def stream_sessions(
         "user_id bigint, session_start timestamp, session_end timestamp, "
         "n_events bigint"
     )
-    state_schema = "start bigint, last bigint, n bigint"
+    state_schema = (
+        "starts array<bigint>, lasts array<bigint>, ns array<bigint>"
+    )
 
     gap_us = gap_sec * 1_000_000
+
+    def _split(sessions, wm_ms):
+        """-> (sealed, pending) by the watermark rule last+gap <= wm."""
+        wm_us = wm_ms * 1000
+        sealed = [s for s in sessions if s[1] + gap_us <= wm_us]
+        pending = [s for s in sessions if s[1] + gap_us > wm_us]
+        return sealed, pending
+
+    def _frame(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                ],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def _park(state, pending):
+        if pending:
+            state.update(
+                (
+                    [s for s, _, _ in pending],
+                    [e for _, e, _ in pending],
+                    [n for _, _, n in pending],
+                )
+            )
+            # strictly above the current watermark by construction of _split
+            state.setTimeoutTimestamp(
+                (min(e for _, e, _ in pending) + gap_us) // 1000 + 1
+            )
+        else:
+            state.remove()
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "n_events": [n],
-                }
+            starts, lasts, ns = state.get
+            sealed, pending = _split(
+                list(zip(starts, lasts, ns)), state.getCurrentWatermarkMs()
             )
+            _park(state, pending)
+            if sealed:
+                yield _frame(user_id, sealed)
             return
         # state/arithmetic in MICROSECONDS — session bounds must round-trip
         # bit-exactly against the batch twin's timestamps
@@ -167,47 +207,29 @@ def stream_sessions(
         )
         if not ts:
             return
-        # fold the batch's events AND the parked open session as sorted
-        # intervals (start, end, count): events within the watermark may
-        # PRECEDE the parked session (file sources deliver micro-batches in
-        # arbitrary per-user order), so simply extending `last` would both
-        # miss splits before the parked start and fail to widen the start.
+        # merge the batch's events and ALL pending sessions as sorted
+        # intervals: admissible events may land before, between, or inside
+        # pending sessions (file sources deliver per-user data out of order
+        # across micro-batches)
         items = [(t, t, 1) for t in ts]
         if state.exists:
-            items.append(tuple(state.get))
+            starts, lasts, ns = state.get
+            items.extend(zip(starts, lasts, ns))
         items.sort()
-        closed = {
-            "user_id": [], "session_start": [], "session_end": [],
-            "n_events": [],
-        }
-
-        def close(s, e, c):
-            closed["user_id"].append(user_id)
-            closed["session_start"].append(pd.Timestamp(s, unit="us"))
-            closed["session_end"].append(pd.Timestamp(e, unit="us"))
-            closed["n_events"].append(c)
-
+        merged = []
         start, last, n = items[0]
         for s, e, c in items[1:]:
             if s - last > gap_us:
-                close(start, last, n)
+                merged.append((start, last, n))
                 start, last, n = s, e, c
             else:
                 last = max(last, e)
                 n += c
-        timeout_ms = (last + gap_us) // 1000 + 1
-        if timeout_ms <= state.getCurrentWatermarkMs():
-            # already overdue (a straggler group processed after the
-            # watermark passed its gap): close it now instead of parking it
-            # with an invalid (past) timeout
-            close(start, last, n)
-            state.remove()
-        else:
-            state.update((start, last, n))
-            # event-time timeout: fire once the watermark passes last + gap
-            state.setTimeoutTimestamp(timeout_ms)
-        if closed["user_id"]:
-            yield pd.DataFrame(closed)
+        merged.append((start, last, n))
+        sealed, pending = _split(merged, state.getCurrentWatermarkMs())
+        _park(state, pending)
+        if sealed:
+            yield _frame(user_id, sealed)
 
     return (
         events_stream.select("user_id", "ts")

@@ -183,43 +183,34 @@ def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
     )
 
 
-def ngram_jaccard_pairs(
-    docs: "DataFrame", n: int = 3, threshold: float = 0.5,
-    max_df: int = 1000,
-) -> "DataFrame":
-    """(doc_a, doc_b, jaccard) — near-dup pairs by word n-gram Jaccard.
-
-    Self-join on shingle values (inverted-index style). ``max_df`` caps the
-    posting-list length per shingle BEFORE the self-join: a boilerplate
-    shingle shared by k documents alone produces k^2/2 join rows (one
-    stopword-heavy trigram in 10^6 docs -> 10^12 rows), yet carries ~zero
-    dedup signal — dropping high-document-frequency shingles is the standard
-    guard (same role as stop-shingle filtering in MinHash pipelines). The
-    dropped shingles leave the Jaccard UNIVERSE too (denominators shrink
-    consistently), so the result is exact Jaccard over the filtered shingle
-    space. The DuckDB oracle applies the identical filter.
-    """
+def _filtered_shingles(docs: "DataFrame", n: int, max_df: int) -> "DataFrame":
+    """Distinct (doc_id, shingle) with high-document-frequency shingles
+    dropped. ``max_df`` caps the posting-list length per shingle: a
+    boilerplate shingle shared by k documents alone produces k^2/2 join rows
+    (one stopword-heavy trigram in 10^6 docs -> 10^12 rows), yet carries
+    ~zero dedup signal. The dropped shingles leave the Jaccard UNIVERSE too
+    (denominators shrink consistently), so downstream scores are exact
+    Jaccard over the filtered shingle space. Heavy shingles are by
+    construction FEW (each needs > max_df distinct docs): partial-agg
+    shuffle to find them, broadcast anti-join to drop them — never a full
+    sort of the posting lists."""
     sh = shingles(docs, n).select("doc_id", "shingle").distinct()
-    # heavy shingles are by construction FEW (each needs > max_df distinct
-    # docs), so: partial-agg shuffle to find them, broadcast anti-join to
-    # drop them — never a full sort of the posting lists.
     heavy = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > max_df)
         .select("shingle")
     )
-    sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
+    return sh.join(F.broadcast(heavy), "shingle", "left_anti")
+
+
+def _jaccard_verify(
+    inter: "DataFrame", sh: "DataFrame", threshold: float
+) -> "DataFrame":
+    """(doc_a, doc_b, inter) + the shingle universe -> thresholded exact
+    Jaccard. Shared by the all-pairs and LSH-shortlist paths, so the two
+    cannot drift apart in denominator or rounding semantics."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("n_sh", "na")
@@ -234,6 +225,31 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    docs: "DataFrame", n: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
+) -> "DataFrame":
+    """(doc_a, doc_b, jaccard) — near-dup pairs by word n-gram Jaccard.
+
+    Self-join on shingle values (inverted-index style) over the DF-capped
+    shingle universe (:func:`_filtered_shingles` — the quadratic-blowup
+    guard; the DuckDB oracle applies the identical filter). The exact
+    all-pairs path; :func:`near_dup_pairs` is the shortlist-first scale
+    composition with identical scoring.
+    """
+    sh = _filtered_shingles(docs, n, max_df)
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_verify(inter, sh, threshold)
 
 
 N_MINHASHES = 8
@@ -301,15 +317,7 @@ def near_dup_pairs(
     shortlisted pair (precision 1.0; recall = LSH band recall).
     """
     cand = minhash_pairs(docs, n)
-    sh = shingles(docs, n).select("doc_id", "shingle").distinct()
-    heavy = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > max_df)
-        .select("shingle")
-    )
-    sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = _filtered_shingles(docs, n, max_df)
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
@@ -321,20 +329,7 @@ def near_dup_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_sh", "na")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("n_sh", "nb")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(inter, sh, threshold)
 
 
 def dedup_clusters(

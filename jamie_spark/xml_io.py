@@ -288,7 +288,8 @@ def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
     """
     mentions: list[dict] = []
     relations: list[dict] = []
-    for sent_id, line in enumerate(xml.strip().split("\n")):
+    sent_id = -1
+    for line in xml.strip().split("\n"):
         if line.startswith(("<brel", "<trel")):
             attrs = dict(_ATTR_RE.findall(line))
             relations.append(
@@ -299,6 +300,10 @@ def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
                 }
             )
             continue
+        # sentence index counts TEXT lines only — standoff rel rows must not
+        # shift it (a rel line before the sentences would misalign every
+        # mention's sent_id against the converters' plain-line indexing)
+        sent_id += 1
         pos = 0
         stack: list[tuple[str, dict, int]] = []
         plain: list[str] = []

@@ -110,3 +110,41 @@ def test_xml2conll_drops_cross_sentence_relations():
     assert s0["heads"][anchor] == [s0["tokens"].index("胃")]
     # cross-sentence relation dropped entirely; sentence 1 untouched
     assert all(r == ["N"] for i, r in enumerate(s1["rels"]))
+
+
+def test_mention_with_ascii_space_spans_correctly():
+    """Mentions whose surface contains ASCII spaces (the tokenizer drops
+    them) must still map to the exact token span — the length walk used to
+    overshoot into following tokens."""
+    xml = '<d tid="T1">acute MI</d> found today。\n'
+    rows = conll.parse_conll(convert.xml_doc_to_conll("u", xml))
+    s0 = rows[0]
+    assert s0["tokens"][:2] == ["acute", "MI"]
+    assert s0["ner"][:3] == ["B-d", "I-d", "O"]  # span exactly 2 tokens
+
+
+def test_rel_lines_before_sentences_do_not_shift_sent_ids():
+    """Standoff rows placed BEFORE the text lines (legal in the grammar)
+    must not shift sentence ids or crash the converter."""
+    xml = (
+        '<brel rid="R1" arg1="T1" arg2="T2" reltype="region" />\n'
+        '<d tid="T1">肺癌</d>と<a tid="T2">胃</a>。\n'
+    )
+    mentions, relations = xml_io.parse_xml_doc(xml)
+    assert {m["sent_id"] for m in mentions} == {0}
+    rows = conll.parse_conll(convert.xml_doc_to_conll("u", xml))
+    anchor = rows[0]["ner"].index("B-d")
+    assert rows[0]["rels"][anchor] == ["region"]
+
+
+def test_converter_isolates_malformed_documents(spark):
+    """One malformed document must be skipped, not kill the batch job."""
+    docs = spark.createDataFrame(
+        [
+            ("good", '<d tid="T1">肺癌</d>を認める。\n'),
+            ("bad", "</d></d> broken <unclosed\n"),
+        ],
+        "url string, xml string",
+    )
+    out = convert.xml_to_conll(docs).collect()
+    assert [r["url"] for r in out] == ["good"]

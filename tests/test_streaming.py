@@ -155,14 +155,70 @@ def test_stream_sessions_stateful(spark, tmp_path):
         ).collect()
     }
     assert emitted <= batch, "stream emitted a session the batch twin lacks"
-    # completeness: sessions whose timeout predates the final watermark
-    max_ts = events.agg(F.max(F.unix_timestamp("ts"))).first()[0]
-    cutoff = max_ts - 600 - 1800  # watermark delay + session gap
+    # completeness: a session is sealed (and must be emitted) once
+    # last + gap <= watermark. The watermark in effect while the LAST batch
+    # processes is max event time of the first three staged files minus the
+    # delay — availableNow runs no extra timeout batch after the final one.
+    wm = (
+        ranked.where(F.col("rk") < 0.75)
+        .agg(F.max(F.unix_timestamp("ts")))
+        .first()[0]
+        - 600
+    )
     must_emit = {
-        s for s in batch if int(s[2].timestamp()) + 1800 < cutoff
+        s for s in batch if int(s[2].timestamp()) + 1800 < wm - 1
     }
     missing = must_emit - emitted
-    assert not missing, f"{len(missing)} overdue sessions not emitted"
+    assert not missing, f"{len(missing)} sealed sessions not emitted"
+
+
+def test_stream_sessions_out_of_order_merge(spark, tmp_path):
+    """An admissible out-of-order event that bridges two already-seen
+    events must yield ONE merged session — premature in-batch-gap emission
+    would have produced two wrong sessions (the session only seals once
+    last + gap <= watermark)."""
+    import time as _time
+
+    base = 1_700_000_000
+    batches = [
+        [(1, base), (1, base + 2000)],   # in-batch gap > 1800s
+        [(1, base + 1500)],              # admissible (wm = base+2000-600)
+        [(1, base + 100_000)],           # far future: seals everything prior
+        [(1, base + 200_000)],           # advances wm past the 100k event
+    ]
+    src = str(tmp_path / "ooo_in")
+    for rows in batches:
+        df = spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id long, ts_epoch long"
+        ).select("user_id", F.timestamp_seconds("ts_epoch").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.stream_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT session_start, session_end, n_events FROM ooo_t ORDER BY session_start"
+    ).collect()
+    sessions = [
+        (int(r["session_start"].timestamp()), int(r["session_end"].timestamp()),
+         r["n_events"])
+        for r in rows
+    ]
+    assert (base, base + 2000, 3) in sessions, sessions  # ONE merged session
+    assert not any(s == (base, base, 1) for s in sessions), sessions
 
 
 def test_crawl_rate_watermarked_window(spark, staged_corpus, tmp_path):

@@ -104,8 +104,11 @@ class FakeTorch:
         return x
 
     @staticmethod
-    def load(path, map_location=None):
+    def load(path, map_location=None, weights_only=None):
         assert map_location == "cpu"
+        # torch >= 2.6 defaults weights_only=True, which rejects the
+        # reference's whole-module pickle — the provider must opt out
+        assert weights_only is False
         with open(path, "rb") as fi:
             return pickle.load(fi)
 
