@@ -167,27 +167,25 @@ MODEL_SUBBATCH = 32
 
 
 def _annotate_units(tagger, unit_toks: list[list[str]]) -> list[tuple]:
-    """Phase 2: batched model calls when the provider supports them
-    (``annotate_batch``, ``MODEL_SUBBATCH`` units per forward — per-sentence
-    calls would run a batch-of-1 forward each, losing the 10-50x CPU
-    batching win). Falls back to per-unit calls with per-unit isolation
-    (a failing unit becomes all-O instead of poisoning the batch); the
-    first fallback per worker is LOGGED — a deterministic bug in the
-    batched path must not silently halve throughput forever."""
-    batch_fn = getattr(tagger, "annotate_batch", None)
-    if batch_fn is not None:
-        try:
-            out = []
-            for i in range(0, len(unit_toks), MODEL_SUBBATCH):
-                out.extend(batch_fn(unit_toks[i : i + MODEL_SUBBATCH]))
-            return out
-        except Exception:
-            import logging
+    """Batched model calls (``annotate_batch``, ``MODEL_SUBBATCH`` units per
+    forward — per-sentence calls would run a batch-of-1 forward each,
+    losing the 10-50x CPU batching win). Falls back to per-unit calls with
+    per-unit isolation (a failing unit becomes all-O instead of poisoning
+    the batch); the fallback is LOGGED — a deterministic bug in the batched
+    path must not silently halve throughput forever."""
+    batch_fn = tagger.annotate_batch
+    try:
+        out = []
+        for i in range(0, len(unit_toks), MODEL_SUBBATCH):
+            out.extend(batch_fn(unit_toks[i : i + MODEL_SUBBATCH]))
+        return out
+    except Exception:
+        import logging
 
-            logging.getLogger(__name__).warning(
-                "annotate_batch failed; degrading to per-unit inference",
-                exc_info=True,
-            )
+        logging.getLogger(__name__).warning(
+            "annotate_batch failed; degrading to per-unit inference",
+            exc_info=True,
+        )
     out = []
     for toks in unit_toks:
         try:
@@ -199,6 +197,39 @@ def _annotate_units(tagger, unit_toks: list[list[str]]) -> list[tuple]:
                  [[] for _ in range(n)])
             )
     return out
+
+
+def _iter_annotated(tagger, pdf_rows, mode: str, vocab: set[str] | None):
+    """Yield (url, sent_id, chunk_id, toks, ner, mod, rels, heads) for one
+    Arrow batch of pages.
+
+    Two execution shapes, chosen by the provider:
+
+    * no ``annotate_batch`` (the stand-in): ONE fused streaming loop — unit
+      generation and tagging inline, no intermediate unit/result lists
+      (materializing them measured ~50% slower on the 1.2M-doc hot path);
+      per-PAGE error isolation as in the reference (utils.py:844-846).
+    * ``annotate_batch`` present (the torch provider): collect units first,
+      then sub-batched model forwards (:func:`_annotate_units`) — for a
+      real encoder the forward dominates and batching it wins 10-50x,
+      dwarfing the list-materialization cost.
+    """
+    batch_fn = getattr(tagger, "annotate_batch", None)
+    if batch_fn is None:
+        for url, html, text in pdf_rows:
+            try:
+                body = text if text else extract_text(html)
+                body = zen_to_han(body)
+                for sid, cid, toks in _doc_units(body, mode, vocab):
+                    ner, mod, rels, heads = tagger.annotate_sentence(toks)
+                    yield url, sid, cid, toks, ner, mod, rels, heads
+            except Exception:
+                continue
+        return
+    units = _collect_units(pdf_rows, mode, vocab)
+    annotated = _annotate_units(tagger, [u[3] for u in units])
+    for (url, sid, cid, toks), (ner, mod, rels, heads) in zip(units, annotated):
+        yield url, sid, cid, toks, ner, mod, rels, heads
 
 
 def _make_annotate_batches(mode: str, spec: str):
@@ -214,12 +245,11 @@ def _make_annotate_batches(mode: str, spec: str):
                 "url", "sent_id", "chunk_id", "tokens", "ner", "mod", "rels",
                 "heads", "entities", "triples",
             )}
-            units = _collect_units(
-                zip(pdf["url"], pdf["html"], pdf["text"]), mode, vocab
-            )
-            annotated = _annotate_units(tagger, [u[3] for u in units])
-            for (url, sent_id, chunk_id, toks), (ner, mod, rels, heads) in zip(
-                units, annotated
+            for url, sent_id, chunk_id, toks, ner, mod, rels, heads in (
+                _iter_annotated(
+                    tagger, zip(pdf["url"], pdf["html"], pdf["text"]),
+                    mode, vocab,
+                )
             ):
                 try:
                     spans = bio_to_spans(ner)
@@ -335,12 +365,10 @@ def _make_flat_arrow_batches(mode: str, spec: str):
             d = rb.to_pydict()
             cols: dict[str, list] = {k: [] for k in names}
             add = [cols[k].append for k in names]
-            units = _collect_units(
-                zip(d["url"], d["html"], d["text"]), mode, vocab
-            )
-            annotated = _annotate_units(tagger, [u[3] for u in units])
-            for (url, sid, cid, toks), (ner, mod, rels, heads) in zip(
-                units, annotated
+            for url, sid, cid, toks, ner, mod, rels, heads in (
+                _iter_annotated(
+                    tagger, zip(d["url"], d["html"], d["text"]), mode, vocab
+                )
             ):
                 try:
                     spans = bio_to_spans(ner)
