@@ -141,21 +141,23 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
         yield a, cid, toks
 
 
-def _collect_units(pdf_rows, mode: str, vocab: set[str] | None) -> list[tuple]:
-    """Phase 1 of an Arrow batch: extract/segment/tokenize every page into
-    (url, sent_id, chunk_id, tokens) units. Per-PAGE error isolation
-    (reference utils.py:844-846): a bad page yields no units, never kills
-    the task."""
-    units: list[tuple] = []
+def _iter_page_units(pdf_rows, mode: str, vocab: set[str] | None):
+    """Extract/segment/tokenize pages into (url, sent_id, chunk_id, tokens)
+    units — the single page loop both execution shapes consume. Per-PAGE
+    error isolation (reference utils.py:844-846): a bad page yields no
+    units, never kills the task (a page's units materialize before any are
+    yielded, so a mid-page failure cannot half-emit a document)."""
     for url, html, text in pdf_rows:
         try:
             body = text if text else extract_text(html)
             body = zen_to_han(body)
-            for sent_id, chunk_id, toks in _doc_units(body, mode, vocab):
-                units.append((url, sent_id, chunk_id, toks))
+            units = [
+                (url, sid, cid, toks)
+                for sid, cid, toks in _doc_units(body, mode, vocab)
+            ]
         except Exception:
             continue
-    return units
+        yield from units
 
 
 #: units per model forward when the provider batches. Bounds the padded
@@ -216,19 +218,35 @@ def _iter_annotated(tagger, pdf_rows, mode: str, vocab: set[str] | None):
     """
     batch_fn = getattr(tagger, "annotate_batch", None)
     if batch_fn is None:
-        for url, html, text in pdf_rows:
+        warned = False
+        for url, sid, cid, toks in _iter_page_units(pdf_rows, mode, vocab):
             try:
-                body = text if text else extract_text(html)
-                body = zen_to_han(body)
-                for sid, cid, toks in _doc_units(body, mode, vocab):
-                    ner, mod, rels, heads = tagger.annotate_sentence(toks)
-                    yield url, sid, cid, toks, ner, mod, rels, heads
+                ner, mod, rels, heads = tagger.annotate_sentence(toks)
             except Exception:
-                continue
+                # same per-unit contract as the batched fallback: the
+                # failing unit becomes all-O, the rest of the page (and
+                # corpus) is untouched — and it is logged, never silent
+                if not warned:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "annotate_sentence failed; emitting all-O for the"
+                        " failing unit(s)", exc_info=True,
+                    )
+                    warned = True
+                n = len(toks)
+                ner, mod = ["O"] * n, ["_"] * n
+                rels = [[] for _ in range(n)]
+                heads = [[] for _ in range(n)]
+            yield url, sid, cid, toks, ner, mod, rels, heads
         return
-    units = _collect_units(pdf_rows, mode, vocab)
+    units = list(_iter_page_units(pdf_rows, mode, vocab))
     annotated = _annotate_units(tagger, [u[3] for u in units])
-    for (url, sid, cid, toks), (ner, mod, rels, heads) in zip(units, annotated):
+    # strict: a provider whose annotate_batch miscounts must fail LOUDLY —
+    # plain zip would silently drop trailing units and misalign tags
+    for (url, sid, cid, toks), (ner, mod, rels, heads) in zip(
+        units, annotated, strict=True
+    ):
         yield url, sid, cid, toks, ner, mod, rels, heads
 
 
