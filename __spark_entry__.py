@@ -207,6 +207,81 @@ def _e3_rel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _relax_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotations-shaped rows (url, sent_id, rels, heads) built JVM-side
+    from the documents table by a deterministic multihead rule:
+
+    * token i -> head i+2, rel 'next2'   when i % 5 == 0
+    * token i -> head i+3, rel 'next3'   when i % 7 == 0   (i % 35 == 0
+      tokens carry TWO heads — the multihead case)
+    * token i -> head i+1, rel 'N'       when i % 9 == 0   (the null label
+      ``rel_token_triples`` must drop, reference clinical_eval.py:31-36)
+    """
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("sent_id"),
+        F.expr(
+            """
+            transform(
+              transform(sequence(0, size(split(text, ' ')) - 1), i ->
+                filter(array(
+                  named_struct('r', 'next2', 'h', i + 2,
+                    'ok', i % 5 = 0 AND i + 2 < size(split(text, ' '))),
+                  named_struct('r', 'next3', 'h', i + 3,
+                    'ok', i % 7 = 0 AND i + 3 < size(split(text, ' '))),
+                  named_struct('r', 'N', 'h', i + 1,
+                    'ok', i % 9 = 0 AND i + 1 < size(split(text, ' ')))
+                ), x -> x.ok)),
+              lst -> transform(lst, x -> x.r))
+            """
+        ).alias("rels"),
+        F.expr(
+            """
+            transform(
+              transform(sequence(0, size(split(text, ' ')) - 1), i ->
+                filter(array(
+                  named_struct('r', 'next2', 'h', i + 2,
+                    'ok', i % 5 = 0 AND i + 2 < size(split(text, ' '))),
+                  named_struct('r', 'next3', 'h', i + 3,
+                    'ok', i % 7 = 0 AND i + 3 < size(split(text, ' '))),
+                  named_struct('r', 'N', 'h', i + 1,
+                    'ok', i % 9 = 0 AND i + 1 < size(split(text, ' ')))
+                ), x -> x.ok)),
+              lst -> transform(lst, x -> x.h))
+            """
+        ).alias("heads"),
+    )
+
+
+def _e3_rel_relax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 RELAXED relation eval (reference eval_rel_relax
+    clinical_eval.py:135-138): tuple = (url, sent_id, tail TOKEN id, head
+    TOKEN id, rel) — anchors only, no span boundaries. Routed through the
+    REAL engine path: ``mentions.rel_token_triples`` (the multihead
+    zip/explode + 'N'-drop, data_objects.py:231-238 semantics) feeding
+    ``jeval.per_label_counts``. Pred perturbation: dropped triples -> fns,
+    head-ANCHOR shifts -> paired fp+fn (span-only shifts, which strict
+    catches, would be invisible here — that asymmetry is the relax/strict
+    distinction)."""
+    from jamie_spark import mentions as jmentions
+
+    gold = jmentions.rel_token_triples(_relax_annotations(spark, sf_dir))
+    doc = F.col("url").cast("long")
+    dropped = (doc % 7 == 0) & (F.col("tail_id") % 2 == 0)
+    pred = gold.where(~dropped).withColumn(
+        "head_id",
+        F.col("head_id")
+        + F.when(doc % 11 == 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    keys = ["url", "sent_id", "tail_id", "head_id"]
+    return jeval.per_label_counts(gold, pred, keys, "rel").select(
+        "label",
+        F.col("tps").cast("long").alias("tps"),
+        F.col("fps").cast("long").alias("fps"),
+        F.col("fns").cast("long").alias("fns"),
+    )
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary; decimal-exact sums cast to double."""
     li = _read(spark, sf_dir, "lineitem")
@@ -529,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
         "e3_rel_strict": _e3_rel_strict,
+        "e3_rel_relax": _e3_rel_relax,
         # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
@@ -1154,6 +1230,44 @@ j AS (
       ON g.subj = p.subj AND g.doc_id = p.doc_id
      AND g.tail_begin = p.tail_begin AND g.tail_end = p.tail_end
      AND g.head_begin = p.head_begin AND g.head_end = p.head_end
+)
+SELECT label,
+       CAST(SUM(LEAST(gc, pc)) AS BIGINT) AS tps,
+       CAST(SUM(pc - LEAST(gc, pc)) AS BIGINT) AS fps,
+       CAST(SUM(gc - LEAST(gc, pc)) AS BIGINT) AS fns
+FROM j GROUP BY label
+""",
+        "e3_rel_relax": """
+WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+idx AS (
+    SELECT doc_id, n, unnest(range(0, n)) AS i FROM w
+),
+tri0 AS (
+    SELECT doc_id, i AS tail_id, i + 2 AS head_id, 'next2' AS rel
+    FROM idx WHERE i % 5 = 0 AND i + 2 < n
+    UNION ALL
+    SELECT doc_id, i, i + 3, 'next3' FROM idx WHERE i % 7 = 0 AND i + 3 < n
+    UNION ALL
+    SELECT doc_id, i, i + 1, 'N' FROM idx WHERE i % 9 = 0 AND i + 1 < n
+),
+gold AS (SELECT * FROM tri0 WHERE rel != 'N'),
+pred AS (
+    SELECT doc_id, tail_id,
+           head_id + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS head_id,
+           rel
+    FROM gold
+    WHERE NOT (doc_id % 7 = 0 AND tail_id % 2 = 0)
+),
+g AS (SELECT rel, doc_id, tail_id, head_id, COUNT(*) AS gc
+      FROM gold GROUP BY ALL),
+p AS (SELECT rel, doc_id, tail_id, head_id, COUNT(*) AS pc
+      FROM pred GROUP BY ALL),
+j AS (
+    SELECT COALESCE(g.rel, p.rel) AS label,
+           COALESCE(gc, 0) AS gc, COALESCE(pc, 0) AS pc
+    FROM g FULL OUTER JOIN p
+      ON g.rel = p.rel AND g.doc_id = p.doc_id
+     AND g.tail_id = p.tail_id AND g.head_id = p.head_id
 )
 SELECT label,
        CAST(SUM(LEAST(gc, pc)) AS BIGINT) AS tps,

@@ -103,6 +103,7 @@ def main() -> None:
         "n3_window_top1",
         "e2_eval_prf",
         "e3_rel_strict",
+        "e3_rel_relax",
         "kg_mentions",
         "kg_triples_window",
         "token_counts",
