@@ -258,6 +258,35 @@ class TorchJointExtractor:
         return self.annotate_batch([tokens])[0]
 
 
+def save_artifacts(model, tokenizer, vocabs: dict, out_dir: str) -> None:
+    """S12 SAVE side — persist a deployable model dir in the exact layout
+    :class:`TorchJointExtractor` loads.
+
+    Mirrors the reference's end state (clinical_joint.py:443-453 writes
+    tokenizer + ``{ner,mod,rel}2ix.json`` + a state_dict, then :466-467
+    re-saves ``model.pt`` as the WHOLE pickled module after reloading the
+    best weights — the full-module pickle is what predict mode loads at
+    :484). Driver-side, tiny; closes the train-offline -> deploy-here loop:
+    ``save_artifacts(...)`` then ``JAMIE_MODEL=torch:<out_dir>``.
+
+    ``vocabs`` must carry the three label maps keyed ``ner2ix`` / ``mod2ix``
+    / ``rel2ix`` (missing keys are an error — a deploy dir that loads but
+    mislabels is worse than one that fails fast).
+    """
+    import json
+
+    torch, _ = _torch_deps()
+    os.makedirs(out_dir, exist_ok=True)
+    missing = {"ner2ix", "mod2ix", "rel2ix"} - set(vocabs)
+    if missing:
+        raise ValueError(f"vocabs missing required keys: {sorted(missing)}")
+    torch.save(model, os.path.join(out_dir, "model.pt"))
+    tokenizer.save_pretrained(out_dir)
+    for name in ("ner2ix", "mod2ix", "rel2ix"):
+        with open(os.path.join(out_dir, f"{name}.json"), "w") as fo:
+            json.dump(vocabs[name], fo)
+
+
 def model_version(spec: str | None = None) -> str:
     """Version string recorded in lineage rows: the stand-in's pinned version
     for 'standin', the full spec otherwise. Resume is keyed on this — a model

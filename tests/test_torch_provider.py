@@ -45,14 +45,46 @@ class FakeTokenizer:
             return self._v.get(toks, self._v["[UNK]"])
         return [self._v.get(t, self._v["[UNK]"]) for t in toks]
 
+    def save_pretrained(self, out_dir):
+        """Mirror transformers' vocab persistence (the part the provider's
+        from_pretrained consumes)."""
+        toks = [t for t, _ in sorted(self._v.items(), key=lambda kv: kv[1])]
+        with open(f"{out_dir}/vocab.txt", "w") as fo:
+            fo.write("\n".join(toks) + "\n")
+
+
+class FakeTensor:
+    """List-of-lists tensor twin that pins the EXACT contract the real
+    torch.tensor call must produce: rectangular shape and the dtype the
+    provider requested. The reference forward takes (token_ids long,
+    attn_mask bool, sent_mask long) — model.py:641-709."""
+
+    def __init__(self, rows, dtype):
+        widths = {len(r) for r in rows}
+        assert len(widths) == 1, "tensor rows must be rectangular"
+        self.rows = rows
+        self.dtype = dtype
+        self.shape = (len(rows), widths.pop())
+
+    def __iter__(self):
+        return iter(self.rows)
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, i):
+        return self.rows[i]
+
 
 class FakeModel:
     """Deterministic stand-in for the torch checkpoint: tags 肺癌 as d and
     腫瘍 as a at the SUBWORD level and emits one rel dict per sentence
     containing both — the exact output contract of the reference eval
-    forward (model.py:641-709 pred path)."""
+    forward (model.py:641-709 pred path). Records its last call so tests
+    can assert exactly what reached the encoder."""
 
     NER = {"肺": "B-d", "##癌": "I-d", "腫": "B-a", "##瘍": "I-a"}
+    last_call = None
 
     def __init__(self, vocab):
         self._rev = dict(enumerate(vocab))
@@ -61,10 +93,19 @@ class FakeModel:
         return self
 
     def __call__(self, tok_rows, attn_rows, sent_rows):
-        width = {len(r) for r in tok_rows}
-        assert len(width) == 1, "batch must be padded rectangular"
-        assert {len(r) for r in attn_rows} == width
-        assert {len(r) for r in sent_rows} == width
+        # exact tensor contract: dtypes and one shared (B, L) shape
+        for t, want_dtype in (
+            (tok_rows, "long"), (attn_rows, "bool"), (sent_rows, "long")
+        ):
+            assert isinstance(t, FakeTensor), "forward must receive tensors"
+            assert t.dtype == want_dtype, (t.dtype, want_dtype)
+        assert tok_rows.shape == attn_rows.shape == sent_rows.shape
+        assert all(
+            isinstance(v, int) and v >= 0 for r in tok_rows for v in r
+        ), "token ids must be non-negative ints"
+        assert all(v in (0, 1) for r in attn_rows for v in r)
+        assert all(v in (0, 1) for r in sent_rows for v in r)
+        FakeModel.last_call = (tok_rows, attn_rows, sent_rows)
         ner_out, mod_out, rel_out = [], [], []
         for ids, attn in zip(tok_rows, attn_rows):
             toks = [self._rev[i] for i in ids]
@@ -101,7 +142,13 @@ class FakeTorch:
 
     @staticmethod
     def tensor(x, dtype=None):
-        return x
+        assert dtype is not None, "provider must pin every tensor dtype"
+        return FakeTensor(x, dtype)
+
+    @staticmethod
+    def save(obj, path):
+        with open(path, "wb") as fo:
+            pickle.dump(obj, fo)
 
     @staticmethod
     def load(path, map_location=None, weights_only=None):
@@ -181,3 +228,59 @@ def test_registry_resolves_torch_spec(model_dir):
 def test_missing_torch_raises_not_implemented(tmp_path):
     with pytest.raises(NotImplementedError):
         models.TorchJointExtractor(str(tmp_path))
+
+
+SENT = ["肺癌", "に", "腫瘍", "を", "認める", "。"]
+
+
+def test_forward_tensor_shapes_exact(model_dir):
+    """The encoder receives exactly (B_live, max_subwords + 2) in all three
+    tensors, with the documented dtypes (long, bool, long) — the contract a
+    real torch checkpoint would see."""
+    ex = models.TorchJointExtractor(model_dir)
+    ex.annotate_batch([SENT, ["肺癌", "。"]])
+    toks, attn, sent = FakeModel.last_call
+    # 肺癌/腫瘍/認める -> 2 subwords each, に/を/。 -> 1 each: 9 subwords,
+    # + [CLS]/[SEP] frame = 11
+    assert toks.shape == attn.shape == sent.shape == (2, 11)
+    assert (toks.dtype, attn.dtype, sent.dtype) == ("long", "bool", "long")
+    # row 2 (3 subwords + frame = 5) is padded with exactly 6 zeros
+    assert attn[1] == [1] * 5 + [0] * 6
+    assert toks[1][5:] == [0] * 6  # [PAD] id is 0 in VOCAB
+
+
+def test_doc_mode_sent_mask_reaches_encoder(model_dir):
+    """B6 through the provider: a doc-level trunk with an in-band [SEP]
+    must reach the encoder with token_type_ids flipping AFTER that [SEP]
+    (reference utils.py:2081-2089; the [SEP] itself keeps the pre-flip
+    value)."""
+    ex = models.TorchJointExtractor(model_dir)
+    ex.annotate_batch([["肺癌", "[SEP]", "腫瘍"]])
+    _, _, sent = FakeModel.last_call
+    # [CLS] 肺 ##癌 [SEP](in-band) | 腫 ##瘍 [SEP](frame)
+    assert sent[0] == [0, 0, 0, 0, 1, 1, 1]
+
+
+def test_save_artifacts_round_trip(model_dir, tmp_path):
+    """S12 SAVE side: load -> save_artifacts -> load from the new dir gives
+    an extractor with identical behavior, and the new dir carries the exact
+    reference layout (model.pt + vocab.txt + {ner,mod,rel}2ix.json,
+    clinical_joint.py:443-453 + :466-467)."""
+    ex = models.TorchJointExtractor(model_dir)
+    vocabs = dict(ex._vocabs)
+    out = tmp_path / "deployed"
+    models.save_artifacts(ex._model, ex._tokenizer, vocabs, str(out))
+    for fname in ("model.pt", "vocab.txt", "ner2ix.json", "mod2ix.json",
+                  "rel2ix.json"):
+        assert (out / fname).exists(), fname
+    ex2 = models.TorchJointExtractor(str(out))
+    assert ex2._vocabs == vocabs
+    assert ex2.subword_vocab == ex.subword_vocab
+    assert ex2.annotate_sentence(SENT) == ex.annotate_sentence(SENT)
+
+
+def test_save_artifacts_missing_vocab_fails_fast(model_dir, tmp_path):
+    ex = models.TorchJointExtractor(model_dir)
+    bad = {"ner2ix": {}, "mod2ix": {}}  # rel2ix missing
+    with pytest.raises(ValueError, match="rel2ix"):
+        models.save_artifacts(ex._model, ex._tokenizer, bad, str(tmp_path / "x"))
