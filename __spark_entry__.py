@@ -948,22 +948,41 @@ def _plane_array_sql(t: int, p: int) -> str:
     return "[" + ", ".join(f"CAST({c!r} AS DOUBLE)" for c in comps) + "]"
 
 
-def _lsh_sig_sql(n_planes: int = sim.N_PLANES, n_tables: int = sim.N_TABLES) -> str:
-    """sig(vec_id, table_id, bucket) CTE body mirroring sim.bucket_signatures."""
+#: plane-count ceiling rendered into the adaptive LSH oracle: covers corpora
+#: up to TARGET_BUCKET * 2^8 = 51,200 vectors — far above any oracle corpus
+#: (the driver compares at sf0.01). The Spark side has no such ceiling.
+_P_MAX_ORACLE = 8
+
+
+def _lsh_sig_ctes(n_tables: int = sim.N_TABLES) -> str:
+    """``np`` + ``sig`` CTEs mirroring sim.bucket_signatures with the
+    ADAPTIVE plane count: ``np`` re-derives sim.planes_for_corpus from
+    COUNT(*) in SQL (same formula, same TARGET_BUCKET constant), and every
+    plane p contributes its bit only when ``p < np.n`` — so Spark's
+    corpus-derived n_planes and the oracle's stay in lockstep at ANY corpus
+    size up to the rendered ceiling, with the plane constants themselves
+    still the shared md5-derived literals."""
+    np_body = (
+        f"SELECT GREATEST({sim.N_PLANES}, CAST(CEIL(LOG2("
+        f"GREATEST(COUNT(*), 2) / {float(sim.TARGET_BUCKET)})) AS INT)) AS n "
+        "FROM embeddings"
+    )
     selects = []
     for t in range(n_tables):
         bits = []
-        for p in range(n_planes):
+        for p in range(_P_MAX_ORACLE):
             dot = (
                 f"list_sum(list_transform(range(1, {sim.DIM + 1}), "
                 f"i -> CAST(embedding[i] AS DOUBLE) * ({_plane_array_sql(t, p)})[i]))"
             )
-            bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END)")
+            bits.append(
+                f"(CASE WHEN {p} < np.n AND {dot} > 0 THEN {2 ** p} ELSE 0 END)"
+            )
         selects.append(
             f"SELECT vec_id, {t} AS table_id, "
-            f"CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM embeddings"
+            f"CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM embeddings, np"
         )
-    return " UNION ALL ".join(selects)
+    return f"np AS ({np_body}),\nsig AS ({' UNION ALL '.join(selects)})"
 
 
 def _simhash_sql() -> str:
@@ -1368,7 +1387,7 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """,
         "dedup_embedding_cosine": f"""
-WITH sig AS ({_lsh_sig_sql()}),
+WITH {_lsh_sig_ctes()},
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM sig a JOIN sig b
@@ -1396,7 +1415,7 @@ SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
         "kg_pipeline_triples": _kg_pipeline_oracle_sql(),
         "kg_pipeline_triples_doc": _kg_pipeline_oracle_sql(120, doc_mode=True),
         "sim_lsh_topk": f"""
-WITH sig AS ({_lsh_sig_sql()}),
+WITH {_lsh_sig_ctes()},
 cand AS (
     SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
     FROM sig q JOIN sig c

@@ -21,10 +21,13 @@
      for top-k) and score exactly.
 
   Recall is tuned by (n_planes, n_tables): OR-amplification over tables.
-  Defaults (4, 16) measure 0.90 top-5 recall / >=0.97 pair recall on the
-  sf0.01 and sf0.1 corpora (tests gate at 0.8). At larger corpora hold the
-  expected bucket size n/2^n_planes roughly constant: n_planes ~
-  log2(n / target_bucket) — see :func:`planes_for_corpus`.
+  ``n_planes`` is AUTO-DERIVED per corpus by default (one cheap count() ->
+  :func:`planes_for_corpus`, holding the expected bucket near
+  ``TARGET_BUCKET``), so a 100x corpus gets ~7 more planes instead of 100x
+  bigger buckets — no manual re-tune. The derived value at both sandbox
+  corpora is the floor (4, 16), measuring 0.90 top-5 recall / >=0.97 pair
+  recall (tests gate at 0.8); the DuckDB oracle re-derives the same count
+  in SQL so the entries stay value-checked at any size.
 
   Candidate-volume honesty: per-plane collision probability for a pair at
   angle θ is 1 - θ/π, so how much LSH can prune at a given recall is set by
@@ -128,12 +131,21 @@ def cosine_pairs(embeddings: "DataFrame", threshold: float = 0.45) -> "DataFrame
 
 N_PLANES = 4
 N_TABLES = 16
+#: expected vectors per LSH bucket the auto-tuner aims for: n_planes is
+#: derived per corpus so bucket volume (hence candidate-join cost) stays
+#: ~linear in corpus size with NO manual re-tune on a 100x scale-up. Single
+#: source of truth for the Spark entries AND the DuckDB oracle (which
+#: re-derives the same plane count in SQL from COUNT(*)).
+TARGET_BUCKET = 200
 
 
-def planes_for_corpus(n_rows: int, target_bucket: int = 200) -> int:
-    """Recommended n_planes so the expected bucket holds ~target_bucket
-    vectors: candidate volume per table is n * bucket_size, so keeping the
-    bucket bounded keeps the candidate join linear in corpus size."""
+def planes_for_corpus(n_rows: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """n_planes so the expected bucket holds ~target_bucket vectors:
+    candidate volume per table is n * bucket_size, so keeping the bucket
+    bounded keeps the candidate join linear in corpus size. Floor at
+    ``N_PLANES`` (recall tuning below that corpus size is moot). This is
+    the default for every LSH entry point when ``n_planes`` is not given —
+    derived from one cheap count() (parquet metadata for table scans)."""
     import math
 
     return max(N_PLANES, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
@@ -262,15 +274,19 @@ def _bucket_signatures_arrow(
 
 def candidate_pairs(
     embeddings: "DataFrame",
-    n_planes: int = N_PLANES,
+    n_planes: int | None = None,
     n_tables: int = N_TABLES,
 ) -> "DataFrame":
     """(vec_a, vec_b) — deduped same-bucket candidate pairs, IDS ONLY.
 
     The candidate/dedup shuffles move two longs per row — never the
     embedding payloads. Downstream verification attaches embeddings exactly
-    once per surviving pair.
+    once per surviving pair. ``n_planes=None`` (default) auto-derives from
+    the corpus count via :func:`planes_for_corpus` so buckets stay bounded
+    at any scale.
     """
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
     sig = bucket_signatures(embeddings, n_planes, n_tables)
     return (
         sig.alias("a")
@@ -301,16 +317,17 @@ def _pair_score() -> "F.Column":
 def cosine_pairs_lsh(
     embeddings: "DataFrame",
     threshold: float = 0.45,
-    n_planes: int = N_PLANES,
+    n_planes: int | None = None,
     n_tables: int = N_TABLES,
 ) -> "DataFrame":
     """(vec_a, vec_b, score) — embedding near-dup pairs, LSH-bucketed.
 
     The registered scale path for embedding dedup: same output contract and
     scoring formula as :func:`cosine_pairs` restricted to LSH candidates
-    (pair recall >=0.97 at the test scales; tune n_planes/n_tables per
-    :func:`planes_for_corpus`). Candidates are id pairs; embeddings + scalar
-    norms attach once per deduped pair for the exact verify.
+    (pair recall >=0.97 at the test scales). ``n_planes`` defaults to the
+    corpus-derived :func:`planes_for_corpus` value — no manual re-tune at
+    100x. Candidates are id pairs; embeddings + scalar norms attach once per
+    deduped pair for the exact verify.
     """
     cand = candidate_pairs(embeddings, n_planes, n_tables)
     a, b = (_with_norm(embeddings, f"vec_{s}") for s in ("a", "b"))
@@ -440,17 +457,22 @@ def lsh_topk(
     embeddings: "DataFrame",
     n_queries: int = 10,
     k: int = 5,
-    n_planes: int = N_PLANES,
+    n_planes: int | None = None,
     n_tables: int = N_TABLES,
 ) -> "DataFrame":
     """(query_id, rank, neighbor_id, score) — ANN via same-bucket candidates
     unioned over ``n_tables`` hash tables, then scored exactly.
 
     Approximate: recall < 1 vs :func:`cosine_topk` by construction (tests
-    gate recall at 0.8). Plan shape: candidate ids dedup first (no embedding
-    payloads in the shuffle), then ONE join attaches neighbor embeddings and
-    the tiny query side arrives by broadcast.
+    gate recall at 0.8). ``n_planes`` defaults to the corpus-derived
+    :func:`planes_for_corpus` value (derived ONCE from the full corpus —
+    both join sides must bucket with the same plane count). Plan shape:
+    candidate ids dedup first (no embedding payloads in the shuffle), then
+    ONE join attaches neighbor embeddings and the tiny query side arrives
+    by broadcast.
     """
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
     # query-side signatures computed from the TINY query subset (broadcast)
     # rather than by filtering the corpus signature stage: the latter gives
     # the two join sides different subplans above the mapInArrow node, so

@@ -116,6 +116,45 @@ def test_sig_impls_identical(spark):
     assert a == j
 
 
+def test_adaptive_planes_bound_buckets_at_10x(spark):
+    """10x the sf0.1 corpus with NO manual re-tune: planes_for_corpus must
+    auto-raise the plane count above the floor, and the resulting max bucket
+    must stay within a small multiple of TARGET_BUCKET — the property that
+    keeps the candidate join linear on a 100x scale-up. Cross-checked
+    against the un-tuned floor config, which must produce strictly bigger
+    buckets on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from jamie_spark import sim
+
+    n = 20_000  # 10x the sf0.1 embeddings table
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j ->"
+            " cast(pmod(xxhash64(id, j), 1000) / 1000.0 - 0.5 as float))"
+        ).alias("embedding"),
+    )
+    derived = sim.planes_for_corpus(n)
+    assert derived > sim.N_PLANES  # auto-scaled, no manual re-tune
+
+    def max_bucket(n_planes):
+        sig = sim.bucket_signatures(emb, n_planes=n_planes)
+        return (
+            sig.groupBy("table_id", "bucket")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+
+    tuned = max_bucket(derived)
+    floor = max_bucket(sim.N_PLANES)
+    assert tuned <= 8 * sim.TARGET_BUCKET, (
+        f"max bucket {tuned} vs target {sim.TARGET_BUCKET}"
+    )
+    assert tuned < floor, (derived, tuned, floor)
+
+
 def test_lsh_pair_recall_and_precision(spark):
     """LSH dedup pairs: subset of the exact >=0.45 pairs (precision 1.0 — the
     verify step is exact) with pair recall >= 0.9."""
