@@ -13,6 +13,7 @@ def test_bench_emits_driver_contract_json():
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_KG_DOCS="300",
+        SPARK_GRAFT_BENCH_RUNS="2",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -31,3 +32,8 @@ def test_bench_emits_driver_contract_json():
     assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
     assert payload["queries"]["kg_pipeline"] > 0
     assert payload["kg_triples"] > 0
+    # medians-with-spread contract (round-over-round comparability)
+    assert payload["runs_per_query"] == 2
+    for name, med in payload["queries"].items():
+        lo, hi = payload["spread"][name]
+        assert lo <= med <= hi, (name, lo, med, hi)
