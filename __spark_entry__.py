@@ -1025,15 +1025,31 @@ def _minhash_cand_ctes() -> str:
         + " AS band_key FROM sig"
         for b in range(textstats.N_MINHASH_BANDS)
     )
+    cap = textstats.MAX_BAND_BUCKET
     return f"""{_SHINGLES_CTE.strip()},
 dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
 sig AS (SELECT doc_id, {mh_cols} FROM dsh GROUP BY doc_id),
 bands AS ({band_rows}),
+rb AS (
+    SELECT doc_id, band_id, band_key,
+           COUNT(*) OVER (PARTITION BY band_id, band_key) AS bsz,
+           ROW_NUMBER() OVER (
+               PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+    FROM bands
+),
 cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key
-    WHERE a.doc_id < b.doc_id
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rb a JOIN rb b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+        WHERE a.bsz <= {cap} AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rb a JOIN rb b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND b.rn = a.rn + 1
+        WHERE a.bsz > {cap}
+    )
 )"""
 
 

@@ -20,6 +20,8 @@ Env knobs:
     SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
     SPARK_GRAFT_KG_DOCS     synthetic KG corpus size (default 40000)
     SPARK_GRAFT_BENCH_RUNS  timed runs per query (default 3, median reported)
+    SPARK_GRAFT_STRESS_DOCS composed-dedup stress corpus size (default
+                            500000; 0 disables the stress stage)
 
 Scaling mode (north_rule: throughput efficiency >= 0.8 from N to 4N
 executors; sandboxed as local[4] vs local[16] — see SCALING_PAIR for why):
@@ -156,6 +158,36 @@ def main() -> None:
         timings[name] = round(median(runs), 3)
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
+    # composed-dedup scale stress (run ONCE, not medianed: it exists to
+    # evidence near-linear candidate volume under power-law boilerplate at
+    # sf1-equivalent size, not to be a low-variance latency signal)
+    stress_docs = int(os.environ.get("SPARK_GRAFT_STRESS_DOCS", "500000"))
+    stress = {}
+    if stress_docs > 0:
+        from jamie_spark import fixtures, textstats
+
+        sdocs = fixtures.boilerplate_docs_df(spark, stress_docs).cache()
+        sdocs.count()
+        t = time.perf_counter()
+        n_cand = textstats.minhash_pairs(sdocs).count()
+        t_cand = time.perf_counter() - t
+        t = time.perf_counter()
+        n_pairs = textstats.near_dup_pairs(sdocs).count()
+        timings["dedup_stress_pairs"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        textstats.dedup_clusters(sdocs).count()
+        timings["dedup_stress_clusters"] = round(time.perf_counter() - t, 3)
+        sdocs.unpersist()
+        for k in ("dedup_stress_pairs", "dedup_stress_clusters"):
+            spread[k] = [timings[k], timings[k]]
+        stress = {
+            "stress_docs": stress_docs,
+            "stress_candidates": n_cand,
+            "stress_cand_per_doc": round(n_cand / stress_docs, 3),
+            "stress_candidate_sec": round(t_cand, 3),
+            "stress_verified_pairs": n_pairs,
+        }
+
     wall = round(time.perf_counter() - t0, 3)
     result = {
         "metric": "total_bench_sec",
@@ -170,6 +202,7 @@ def main() -> None:
         "kg_docs": n_docs,
         "kg_triples": kg_rows,
         "kg_docs_per_sec": round(n_docs / kg_sec, 1),
+        **stress,
     }
     print(json.dumps(result))
     spark.stop()

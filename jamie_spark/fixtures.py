@@ -27,6 +27,8 @@ from __future__ import annotations
 import random
 from datetime import datetime, timedelta
 
+from pyspark.sql import functions as F
+
 from . import concepts
 from .textnorm import escape_html
 from .tokenizer import tokenize
@@ -359,6 +361,48 @@ def pages_df_distributed(
     return (
         spark.range(0, n_docs, numPartitions=n_partitions)
         .mapInPandas(gen, schema=PAGES_DDL)
+    )
+
+
+def boilerplate_docs_df(
+    spark, n_docs: int, seed: int = 42, n_phrases: int = 50,
+    n_partitions: int = 32,
+):
+    """documents(doc_id, text) stress corpus for dedup at scale: every doc
+    carries 8 unique content words plus a POWER-LAW boilerplate footer —
+    a log-uniform phrase draw (P(phrase k) ~ 1/k over ``n_phrases``) whose
+    tail 6 words ("terms of service all rights reserved") are UNIVERSAL, so
+    their shingles hit ~100% document frequency, the worst case for both the
+    max_df verify cap and the MAX_BAND_BUCKET candidate cap. Every 97th doc
+    is a near-duplicate of its predecessor (same unique words + phrase, one
+    trailing word added -> Jaccard ~0.93), giving the dedup a known answer
+    key. Fully JVM-side generation (no python workers), deterministic in
+    ``seed``.
+    """
+    base = F.when(
+        (F.col("id") % 97 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    u = F.pmod(F.xxhash64(base, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+    phrase = F.floor(F.pow(F.lit(float(n_phrases)), u)).cast("long")
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(F.lit("u"), base.cast("string"), F.lit(f"w{j}"))
+            for j in range(8)
+        ],
+    )
+    boiler = F.concat(
+        F.lit("footer"),
+        phrase.cast("string"),
+        F.lit(" terms of service all rights reserved"),
+    )
+    extra = F.when(
+        (F.col("id") % 97 == 0) & (F.col("id") > 0),
+        F.concat(F.lit(" x"), F.col("id").cast("string")),
+    ).otherwise(F.lit(""))
+    return spark.range(0, n_docs, numPartitions=n_partitions).select(
+        F.col("id").alias("doc_id"),
+        F.concat(uniq, F.lit(" "), boiler, extra).alias("text"),
     )
 
 

@@ -283,22 +283,65 @@ def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
     )
 
 
-def minhash_pairs(docs: "DataFrame", n: int = 3) -> "DataFrame":
+#: band buckets above this size switch from all-pairs to chain-linking.
+#: A band bucket of k docs yields k^2/2 candidate pairs; boilerplate-driven
+#: mega-buckets (cookie banners, footers — every web corpus has them) make
+#: that quadratic in corpus size. Chaining keeps k-1 consecutive-id edges:
+#: candidates stay linear and every bucket member remains REACHABLE, so
+#: dedup_clusters still recovers full transitive groups through the verify
+#: step. Pair-level recall inside mega-buckets is the documented trade.
+#: 64 is far above any bucket on the sandbox corpora (max 13 at sf0.1), so
+#: small-scale results are bit-identical to the uncapped join. Single source
+#: of truth for the Spark path AND the DuckDB oracle.
+MAX_BAND_BUCKET = 64
+
+
+def minhash_pairs(
+    docs: "DataFrame", n: int = 3, max_bucket: int = MAX_BAND_BUCKET
+) -> "DataFrame":
     """(doc_a, doc_b) — candidate near-dup pairs sharing >= 1 MinHash band.
 
     The scale path for dedup at 10^12 docs: equi-join on (band_id, band_key)
-    instead of all-pairs; AQE handles band-key skew.
+    instead of all-pairs; AQE handles band-key skew. Buckets larger than
+    ``max_bucket`` are chain-linked instead of all-paired (see
+    ``MAX_BAND_BUCKET``), bounding candidate volume at
+    ``n_bands * corpus`` even under power-law boilerplate. Both bucket-size
+    classes come off ONE windowed shuffle on (band_id, band_key).
     """
+    from pyspark.sql import Window
+
     sig = minhash_signatures(docs, n)
-    return (
-        sig.alias("a")
-        .join(sig.alias("b"), ["band_id", "band_key"])
+    wp = Window.partitionBy("band_id", "band_key")
+    ranked = sig.select(
+        "doc_id",
+        "band_id",
+        "band_key",
+        F.count(F.lit(1)).over(wp).alias("bsz"),
+        F.row_number().over(wp.orderBy("doc_id")).alias("rn"),
+    )
+    small = ranked.where(F.col("bsz") <= max_bucket)
+    pairs_small = (
+        small.alias("a")
+        .join(small.alias("b"), ["band_id", "band_key"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
+    big = ranked.where(F.col("bsz") > max_bucket)
+    pairs_chain = (
+        big.alias("a")
+        .join(
+            big.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.rn") == F.col("a.rn") + 1),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return pairs_small.union(pairs_chain).distinct()
 
 
 def near_dup_pairs(

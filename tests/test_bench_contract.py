@@ -14,6 +14,7 @@ def test_bench_emits_driver_contract_json():
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_KG_DOCS="300",
         SPARK_GRAFT_BENCH_RUNS="2",
+        SPARK_GRAFT_STRESS_DOCS="5000",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -37,3 +38,6 @@ def test_bench_emits_driver_contract_json():
     for name, med in payload["queries"].items():
         lo, hi = payload["spread"][name]
         assert lo <= med <= hi, (name, lo, med, hi)
+    # dedup scale-stress stage: candidate volume must stay near-linear
+    assert payload["stress_docs"] == 5000
+    assert payload["stress_cand_per_doc"] < 4.0

@@ -82,3 +82,47 @@ def test_near_dup_pairs_match_exact_on_candidates(spark):
     for k, v in composed.items():
         assert exact[k] == v
     assert composed, "composition found no pairs on a near-dup-rich corpus"
+
+
+def test_band_bucket_cap_bounds_candidates_power_law(spark):
+    """Scale stress (sf1-equivalent shape): a power-law boilerplate corpus
+    whose universal footer shingles create MinHash mega-buckets. The
+    MAX_BAND_BUCKET chain-link cap must hold candidate volume near-LINEAR
+    in corpus size, where the uncapped band join measurably goes quadratic
+    (~96x docs at 20k, ~490x at 100k). The injected every-97th-doc
+    near-duplicates must still be recovered through the capped path."""
+    from pyspark.sql import functions as F
+
+    from jamie_spark import fixtures
+
+    n = 50_000
+    docs = fixtures.boilerplate_docs_df(spark, n).cache()
+    try:
+        docs.count()
+        capped = textstats.minhash_pairs(docs).count()
+        assert capped < 4 * n, f"candidates {capped} not near-linear at {n}"
+
+        pairs = textstats.near_dup_pairs(docs)
+        expected = len([i for i in range(1, n) if i % 97 == 0])
+        found = pairs.where(
+            (F.col("doc_b") == F.col("doc_a") + 1)
+            & (F.col("doc_b") % 97 == 0)
+        ).count()
+        assert found >= 0.95 * expected, (found, expected)
+    finally:
+        docs.unpersist()
+
+    # the blowup the cap prevents, demonstrated at a smaller size so the
+    # quadratic query stays affordable in CI
+    small_n = 20_000
+    small = fixtures.boilerplate_docs_df(spark, small_n).cache()
+    try:
+        small.count()
+        capped_s = textstats.minhash_pairs(small).count()
+        uncapped_s = textstats.minhash_pairs(
+            small, max_bucket=10**9
+        ).count()
+        assert uncapped_s > 20 * small_n, "stress corpus lost its teeth"
+        assert capped_s < 4 * small_n
+    finally:
+        small.unpersist()
