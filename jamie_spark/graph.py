@@ -107,24 +107,51 @@ def salted(
     )
 
 
+def iceberg_available(spark) -> bool:
+    """True when the Iceberg Spark runtime jar is on the classpath
+    (org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 for pyspark 4.x).
+    Class lookup through the JVM — py4j package access alone never throws,
+    so resolve explicitly."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def materialize(
     triples: "DataFrame",
     path: str,
     n_buckets: int = 32,
     n_salts: int = 8,
     mode: str = "overwrite",
+    table: str | None = None,
 ) -> None:
     """Write the graph table, salted + bucket-partitioned.
 
-    Target format is Iceberg (``write.format("iceberg")`` with
-    ``partitionedBy(bucket(n, subj_id))``) when a catalog is configured; this
-    sandbox has no Iceberg runtime jar, so the same layout lands as parquet
-    ``partitionBy(bucket)`` — identical pruning + skew behavior for the tests.
+    ``table`` (a catalog-qualified name, e.g. ``local.kg.triples``) selects
+    the Iceberg DSv2 path — ``writeTo(table).using("iceberg")`` partitioned
+    by the same bucket column, createOrReplace/append per ``mode`` — the
+    north_star target on a real lake (requires
+    org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 + a configured
+    ``spark.sql.catalog.<name>``; exercised by the env-gated
+    tests/test_optional_jars.py, which skip in this jar-less sandbox).
+    Default: identical layout as parquet ``partitionBy(bucket)`` at
+    ``path`` — same pruning + skew behavior.
     """
     df = salted(triples, n_buckets, n_salts)
+    part = df.repartition(n_buckets, "bucket", "salt")
+    if table is not None:
+        writer = part.writeTo(table).using("iceberg")
+        if mode == "overwrite":
+            writer.partitionedBy(F.col("bucket")).createOrReplace()
+        else:
+            writer.append()
+        return
     (
-        df.repartition(n_buckets, "bucket", "salt")
-        .write.mode(mode)
+        part.write.mode(mode)
         .partitionBy("bucket")
         .parquet(path)
     )

@@ -52,6 +52,23 @@ def read_page_stream(
     )
 
 
+def read_page_stream_iceberg(
+    spark: "SparkSession", table: str, **options
+) -> "DataFrame":
+    """Incremental crawl batches from Iceberg snapshot appends — the
+    north_star source on a real lake: ``readStream.format("iceberg")`` over
+    a catalog table emits each newly committed snapshot as a micro-batch
+    (options like ``stream-from-timestamp`` pass through). Identical
+    downstream semantics to :func:`read_page_stream`; requires the Iceberg
+    runtime jar (see graph.iceberg_available) — exercised by the env-gated
+    tests/test_optional_jars.py, skipped in this jar-less sandbox.
+    """
+    reader = spark.readStream.format("iceberg")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(table)
+
+
 def process_kg_batch(
     batch_df: "DataFrame", batch_id: int, concept_dict: "DataFrame", out_dir: str
 ) -> None:
