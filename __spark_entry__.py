@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jamie_spark import canon, eval as jeval, fixtures, graph, pipeline, sim, textstats
+from jamie_spark.concepts import MOD_DICT
 from jamie_spark.textstats import LANG_MARKERS, LANG_PRIORITY, STOPWORDS
 
 
@@ -204,6 +205,52 @@ def _e3_rel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tps").cast("long").alias("tps"),
         F.col("fps").cast("long").alias("fps"),
         F.col("fns").cast("long").alias("fns"),
+    )
+
+
+def _e4_mod_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 modality-family F-score rollup (reference
+    ``measure_modality_fscore`` utils.py:1522-1545 via MOD_DICT
+    data_objects.py:6-10) through the engine's per_label_counts core: mod
+    labels assigned deterministically from event ids, pred perturbed with
+    dropped rows (fns) and label shifts that CROSS families (the rollup has
+    to aggregate the resulting fp/fn into the right family buckets, which a
+    per-label view never shows)."""
+    labels = sorted(MOD_DICT)
+    n = len(labels)
+    ev = _read(spark, sf_dir, "events")
+    lab_arr = F.array(*[F.lit(x) for x in labels])
+    lab = F.element_at(
+        lab_arr, (F.pmod(F.col("event_id"), F.lit(n)) + 1).cast("int")
+    )
+    shifted = F.element_at(
+        lab_arr, (F.pmod(F.col("event_id") + 1, F.lit(n)) + 1).cast("int")
+    )
+    gold = ev.select("user_id", "event_id", lab.alias("mod_tag"))
+    pred = (
+        ev.where(F.col("event_id") % 7 != 0)
+        .select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_id") % 11 == 0, shifted)
+            .otherwise(lab)
+            .alias("mod_tag"),
+        )
+    )
+    counts = jeval.per_label_counts(
+        gold, pred, ["user_id", "event_id"], "mod_tag"
+    )
+    fam = F.create_map(
+        *[F.lit(x) for kv in sorted(MOD_DICT.items()) for x in kv]
+    )
+    return (
+        counts.select(fam[F.col("label")].alias("family"), "tps", "fps", "fns")
+        .groupBy("family")
+        .agg(
+            F.sum("tps").cast("long").alias("tps"),
+            F.sum("fps").cast("long").alias("fps"),
+            F.sum("fns").cast("long").alias("fns"),
+        )
     )
 
 
@@ -605,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_eval_prf": _e2_eval_prf,
         "e3_rel_strict": _e3_rel_strict,
         "e3_rel_relax": _e3_rel_relax,
+        "e4_mod_family": _e4_mod_family,
         # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
@@ -662,6 +710,18 @@ shingles AS (
     )
 )
 """
+
+
+def _mod_labels_values() -> str:
+    """sorted(MOD_DICT) as (index, label, family) VALUES — single source of
+    truth with the Spark _e4_mod_family label assignment and rollup."""
+    return ", ".join(
+        f"({i}, '{lab}', '{MOD_DICT[lab]}')"
+        for i, lab in enumerate(sorted(MOD_DICT))
+    )
+
+
+_N_MOD_LABELS = len(MOD_DICT)
 
 
 def _link_concepts_values() -> str:
@@ -1309,6 +1369,43 @@ SELECT label,
        CAST(SUM(pc - LEAST(gc, pc)) AS BIGINT) AS fps,
        CAST(SUM(gc - LEAST(gc, pc)) AS BIGINT) AS fns
 FROM j GROUP BY label
+""",
+        "e4_mod_family": f"""
+WITH labs(i, lab, fam) AS (VALUES {_mod_labels_values()}),
+gold AS (
+    SELECT e.user_id, e.event_id, l.lab AS mod
+    FROM events e JOIN labs l ON l.i = e.event_id % {_N_MOD_LABELS}
+),
+pred AS (
+    SELECT e.user_id, e.event_id,
+           CASE WHEN e.event_id % 11 = 0 THEN l2.lab ELSE l.lab END AS mod
+    FROM events e
+    JOIN labs l  ON l.i  = e.event_id % {_N_MOD_LABELS}
+    JOIN labs l2 ON l2.i = (e.event_id + 1) % {_N_MOD_LABELS}
+    WHERE e.event_id % 7 != 0
+),
+g AS (SELECT mod, user_id, event_id, COUNT(*) AS gc FROM gold GROUP BY ALL),
+p AS (SELECT mod, user_id, event_id, COUNT(*) AS pc FROM pred GROUP BY ALL),
+j AS (
+    SELECT COALESCE(g.mod, p.mod) AS label,
+           COALESCE(gc, 0) AS gc, COALESCE(pc, 0) AS pc
+    FROM g FULL OUTER JOIN p
+      ON g.mod = p.mod AND g.user_id = p.user_id
+     AND g.event_id = p.event_id
+),
+c AS (
+    SELECT label,
+           SUM(LEAST(gc, pc)) AS tps,
+           SUM(pc - LEAST(gc, pc)) AS fps,
+           SUM(gc - LEAST(gc, pc)) AS fns
+    FROM j GROUP BY label
+)
+SELECT l.fam AS family,
+       CAST(SUM(tps) AS BIGINT) AS tps,
+       CAST(SUM(fps) AS BIGINT) AS fps,
+       CAST(SUM(fns) AS BIGINT) AS fns
+FROM c JOIN labs l ON l.lab = c.label
+GROUP BY l.fam
 """,
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,

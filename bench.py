@@ -130,6 +130,7 @@ def main() -> None:
         "e2_eval_prf",
         "e3_rel_strict",
         "e3_rel_relax",
+        "e4_mod_family",
         "kg_mentions",
         "kg_triples_window",
         "token_counts",
