@@ -638,6 +638,80 @@ def _kg_canon_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canon.canonicalize_concepts(fixtures.concept_df(spark))
 
 
+def _word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-adjacency digraph over documents: distinct (src, dst) pairs of
+    consecutive words — the deterministic small-vocabulary stand-in for the
+    canonical-entity graph the pipeline materializes (graph.materialize), so
+    every graph-analytics oracle runs on the same parquet the driver mounts."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.split("text", " ").alias("ws"))
+        .where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(ws[i-1] as src, ws[i] as dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
+def _kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree profile of the word-adjacency KG."""
+    from jamie_spark import kgstats
+
+    return kgstats.degrees(_word_edges(spark, sf_dir))
+
+
+def _kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop directed path counts (mid-vertex self-join, AQE skew-split)."""
+    from jamie_spark import kgstats
+
+    return kgstats.two_hop(_word_edges(spark, sf_dir))
+
+
+def _kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration via degree-ordered orientation; the oracle closes
+    the same triangles with a plain id-ordered 3-way join — the triangle SET
+    is orientation-independent, so Spark runs the skew-proof plan while the
+    oracle stays simple."""
+    from jamie_spark import kgstats
+
+    return kgstats.triangles(_word_edges(spark, sf_dir))
+
+
+def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (5 iterations): int64 arithmetic end to
+    end, so Spark and DuckDB agree to the unit regardless of partitioning or
+    summation order — the trick that makes an iterative algorithm
+    value-oracle-able."""
+    from jamie_spark import kgstats
+
+    return kgstats.pagerank_fixed(_word_edges(spark, sf_dir), iters=5)
+
+
+#: passage window / stride / document-frequency floor — single source for the
+#: Spark entry and the DuckDB oracle
+_PASSAGE_K = 8
+_PASSAGE_STRIDE = 2
+_PASSAGE_MIN_DOCS = 2
+
+
+def _dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring boilerplate detection: k-token strided windows
+    repeated across >= min_docs distinct documents."""
+    return textstats.common_passages(
+        _docs(spark, sf_dir),
+        k=_PASSAGE_K,
+        stride=_PASSAGE_STRIDE,
+        min_docs=_PASSAGE_MIN_DOCS,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction family
@@ -647,6 +721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples_doc": _kg_pipeline_triples_doc,
         "kg_canon_components": _kg_canon_components,
         "kg_link_rerank": _kg_link_rerank,
+        # KG graph analytics (kgstats)
+        "kg_degrees": _kg_degrees,
+        "kg_two_hop": _kg_two_hop,
+        "kg_triangles": _kg_triangles,
+        "kg_pagerank": _kg_pagerank,
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
@@ -678,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _simhash,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_passages": _dedup_passages,
         "doc_fingerprint": _fingerprints,
         "sim_cosine_topk": _cosine_topk,
         "sim_lsh_topk": _lsh_topk,
@@ -781,6 +861,46 @@ SELECT concept_id, canonical_id FROM canon_map
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+#: word-adjacency digraph CTE shared by the kgstats oracles — distinct
+#: consecutive-word (src, dst) pairs, mirroring __spark_entry__._word_edges
+_EDGES_CTE = """
+words AS (SELECT split(text, ' ') AS ws FROM documents),
+edges AS (
+    SELECT DISTINCT ws[i] AS src, ws[i + 1] AS dst
+    FROM words, unnest(range(1, len(ws))) AS t(i)
+    WHERE len(ws) >= 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 1_000_000_000) -> str:
+    """kgstats.pagerank_fixed unrolled as chained CTEs: the recurrence is
+    all int64 arithmetic (// division, integer sums), so DuckDB reproduces
+    Spark's ranks exactly — no float summation-order drift to round away."""
+    base = scale * 15 // 100
+    ctes = [
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+    SELECT n.node,
+           CAST({base} + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_fp
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node, SUM(r.rank_fp // ed.out_deg) AS mass
+        FROM (SELECT e.src, e.dst, o.out_deg
+              FROM edges e
+              JOIN (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) o
+              USING (src)) ed
+        JOIN r{i - 1} r ON r.node = ed.src
+        GROUP BY ed.dst
+    ) m USING (node))""")
+    return (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_fp FROM r{iters}"
+    )
 
 
 #: the pinned tokenizer grammar (jamie_spark.tokenizer._char_class) as an RE2
@@ -1525,6 +1645,48 @@ scored AS (
 SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
 """,
         "kg_canon_components": _canon_cc_sql(),
+        "kg_degrees": f"""
+WITH {_EDGES_CTE.strip()}
+SELECT n.node,
+       CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM nodes n
+LEFT JOIN (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src) o
+    USING (node)
+LEFT JOIN (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY dst) i
+    USING (node)
+""",
+        "kg_two_hop": f"""
+WITH {_EDGES_CTE.strip()}
+SELECT a.src AS src, b.dst AS dst2, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM edges a JOIN edges b ON a.dst = b.src
+GROUP BY a.src, b.dst
+""",
+        "kg_triangles": f"""
+WITH {_EDGES_CTE.strip()},
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+)
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM und e1
+JOIN und e2 ON e2.a = e1.b
+JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+""",
+        "kg_pagerank": _pagerank_sql(5),
+        "dedup_passages": f"""
+WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+win AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(ws, i, i + {_PASSAGE_K - 1}), ' ')
+               AS passage
+    FROM w, unnest(range(1, len(ws) - {_PASSAGE_K - 2}, {_PASSAGE_STRIDE}))
+             AS t(i)
+    WHERE len(ws) >= {_PASSAGE_K}
+)
+SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM win GROUP BY passage HAVING COUNT(*) >= {_PASSAGE_MIN_DOCS}
+""",
         "kg_pipeline_triples": _kg_pipeline_oracle_sql(),
         "kg_pipeline_triples_doc": _kg_pipeline_oracle_sql(120, doc_mode=True),
         "sim_lsh_topk": f"""

@@ -133,6 +133,11 @@ def main() -> None:
         "e4_mod_family",
         "kg_mentions",
         "kg_triples_window",
+        "kg_degrees",
+        "kg_two_hop",
+        "kg_triangles",
+        "kg_pagerank",
+        "dedup_passages",
         "token_counts",
         "text_quality",
         "lang_id",

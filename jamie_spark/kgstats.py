@@ -1,0 +1,230 @@
+"""Graph analytics over constructed KG triples (kg_construct tier).
+
+The reference (racerandom/JaMIE) stops at emitting document-level triples;
+any downstream consumer of a 100 TB web-scale knowledge graph immediately
+needs the classic graph profile: degree distributions, multi-hop reachability
+counts, triangle/clustering structure, and a centrality ranking. These are
+first-class operators here, all expressed as DataFrame plans over an edge
+table ``(src, dst)`` so Catalyst handles pushdown/pruning and AQE handles
+runtime skew.
+
+Scale design notes (each operator documents its own):
+
+* ``degrees``        — one hash aggregation, map-side partial combine.
+* ``two_hop``        — a single self-join shuffled on the MID vertex; hub
+                       mids are the skew risk, AQE skew-split plus an
+                       optional hub cap (``max_fanout``) bound the blowup.
+* ``triangles``      — degree-ordered edge orientation (each undirected edge
+                       points low->high by (degree, id)), the standard trick
+                       that bounds wedge generation by O(m * arboricity)
+                       instead of O(sum deg^2): the hottest hub generates NO
+                       wedges unless both endpoints out-rank it.
+* ``pagerank_fixed`` — fixed-point INTEGER PageRank: ranks are scaled to
+                       int64 units and every step is integer arithmetic
+                       (div/sum), so results are exactly reproducible across
+                       engines and partitionings — float summation order can
+                       never flip a value. This is what makes an iterative
+                       algorithm value-oracle-able against DuckDB.
+
+No counterpart exists in the reference repo; cited papers: triangle
+orientation per Ortmann & Brandes (2014) / Suri & Vassilvitskii (2011,
+"Counting triangles and the curse of the last reducer").
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+# 1.0 of PageRank mass in fixed-point units. int64 holds total mass up to
+# ~9.2e9 vertices at this scale; raise/lower per deployment (documented knob).
+PR_SCALE = 1_000_000_000
+
+
+def degrees(edges: "DataFrame") -> "DataFrame":
+    """Per-vertex degree profile over a DIRECTED distinct-edge table.
+
+    Returns (node, out_deg, in_deg). One shuffle per direction on the vertex
+    key, partial-aggregated map-side; the union+sum keeps it to a single
+    final hash aggregation instead of an outer join.
+    """
+    e = edges.select("src", "dst").distinct()
+    out_part = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg"), F.lit(0).cast("long").alias("in_deg")
+    )
+    in_part = e.groupBy(F.col("dst").alias("node")).agg(
+        F.lit(0).cast("long").alias("out_deg"), F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        out_part.unionByName(in_part)
+        .groupBy("node")
+        .agg(F.sum("out_deg").alias("out_deg"), F.sum("in_deg").alias("in_deg"))
+    )
+
+
+def two_hop(edges: "DataFrame", max_fanout: int | None = None) -> "DataFrame":
+    """Count 2-hop directed paths a->m->c, grouped by (src, dst2).
+
+    The self-join shuffles both sides on the MID vertex — the natural key —
+    so each mid's wedges are produced by one task; AQE skew-join splitting
+    handles hot mids at runtime. ``max_fanout`` optionally drops mids whose
+    out-degree exceeds the cap BEFORE the join (hub blacklisting, the same
+    document-frequency-cap idea as textstats._filtered_shingles): on a
+    power-law web KG the top hub alone would otherwise contribute
+    in_deg*out_deg ~ O(n^2) paths.
+    """
+    e = edges.select("src", "dst").distinct()
+    right = e
+    if max_fanout is not None:
+        hubs = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("fan"))
+            .where(F.col("fan") > max_fanout)
+            .select("src")
+        )
+        right = e.join(F.broadcast(hubs), "src", "left_anti")
+    a = e.select(F.col("src"), F.col("dst").alias("mid"))
+    b = right.select(F.col("src").alias("mid"), F.col("dst").alias("dst2"))
+    return (
+        a.join(b, "mid")
+        .groupBy("src", "dst2")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+def _undirected(edges: "DataFrame") -> "DataFrame":
+    """Distinct undirected projection with endpoints ordered a < b."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangles(edges: "DataFrame") -> "DataFrame":
+    """Enumerate triangles (a, b, c), a < b < c, of the undirected projection.
+
+    Plan: orient every undirected edge from the LOWER to the HIGHER endpoint
+    under the total order (degree, node) — so every vertex's oriented
+    out-degree is bounded by O(sqrt(m)) on any graph — then join oriented
+    wedges (x->y, x->z) back against oriented edges (y->z). The orientation
+    changes WHICH joins produce each triangle but never the set of triangles,
+    so a plain id-ordered 3-way self-join is a valid cross-engine oracle
+    while Spark runs the skew-proof plan.
+
+    The wedge join shuffles on the wedge's low vertex; the closing join on
+    (y, z) is an equi-join on both endpoints. Output columns are the
+    id-sorted triple so the result is orientation-independent.
+    """
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # orient low -> high under (deg, id); ties broken by id so the order is total
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("e")
+        )
+        .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+    )
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    # y < z by id keeps each wedge once (both orderings close the same triangle)
+    wedges = w1.join(w2, "x").where(F.col("y") < F.col("z"))
+    closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    return tri.select(
+        F.least("x", "y", "z").alias("a"),
+        F.greatest(
+            F.least("x", "y"), F.least(F.greatest("x", "y"), "z")
+        ).alias("b"),
+        F.greatest("x", "y", "z").alias("c"),
+    )
+
+
+def triangle_count(edges: "DataFrame") -> int:
+    """Total triangle count (driver-side scalar)."""
+    return triangles(edges).count()
+
+
+def pagerank_fixed(
+    edges: "DataFrame",
+    iters: int = 5,
+    damping_num: int = 85,
+    scale: int = PR_SCALE,
+) -> "DataFrame":
+    """Fixed-point integer PageRank, exactly reproducible across engines.
+
+    rank_0(v)   = scale                       (i.e. 1.0 in fixed-point units)
+    contrib(e)  = rank_i(src) DIV out_deg(src)             (integer division)
+    rank_{i+1}(v) = (15*scale) DIV 100
+                  + (damping_num * SUM contrib(in-edges))  DIV 100
+
+    Every operation is int64 arithmetic: sums are associative/commutative
+    exactly, so partition order, shuffle order, and engine (Spark vs DuckDB)
+    can never change a single unit — unlike float PageRank, where summation
+    order drifts the low bits and breaks value-hash comparison. The truncated
+    division remainder is the deliberate price (bounded by out_deg units per
+    vertex per iteration, i.e. ~1e-9 of mass at the default scale).
+
+    Dangling vertices (no out-edges) simply leak their mass, the classic
+    simplified formulation. Each iteration is one join (edges x ranks,
+    shuffled on src) + one aggregation (shuffled on dst); ranks are
+    localCheckpoint()ed per iteration to truncate the growing plan —
+    at cluster scale a reliable checkpoint dir serves the same purpose.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # edges annotated with the sender's out-degree never change -> cache once
+    e_deg = e.join(out_deg, "src").persist()
+    base = scale * 15 // 100
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank_fp"))
+    for _ in range(iters):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                F.expr("rank_fp div out_deg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_mass, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e_deg.unpersist()
+    return ranks

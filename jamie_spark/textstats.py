@@ -442,6 +442,50 @@ def simhash(docs: "DataFrame") -> "DataFrame":
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def common_passages(
+    docs: "DataFrame", k: int = 8, stride: int = 4, min_docs: int = 5
+) -> "DataFrame":
+    """(passage, n_docs) — k-token passages repeated across >= min_docs
+    distinct documents: the exact-substring/boilerplate detector of a
+    training-data pipeline (header/footer/license blocks, templated spam).
+
+    Passages are strided token windows (``stride`` > 1 trades recall of
+    arbitrary-offset repeats for a 1/stride cut in shingle volume — at 100 TB
+    the volume knob matters more than offset-exact recall, and repeated
+    BLOCKS longer than k+stride tokens are still always caught by at least
+    one aligned window). The plan is a single hash aggregation over the
+    exploded windows with map-side partial combine; per-doc dedup of the
+    window list happens inside the explode projection (array_distinct) so a
+    passage repeated WITHIN one doc counts once, before the shuffle.
+
+    Docs with fewer than k words emit nothing. The group-by key is the
+    passage string itself: Spark's partial aggregation collapses hot
+    boilerplate map-side, so the reducer sees at most one row per (passage,
+    map task) — no posting-list blowup like the pairwise-join dedups.
+    """
+    parts = ", ".join(f"ws[i - 1 + {j}]" for j in range(k))
+    win = (
+        _words(docs)
+        .where(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(ws) - {k - 1}, {stride}),"
+                        f" i -> concat_ws(' ', {parts}))"
+                    )
+                )
+            ).alias("passage"),
+        )
+    )
+    return (
+        win.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def fingerprints(docs: "DataFrame", n: int = 3, window: int = 4) -> "DataFrame":
     """(doc_id, fp) — winnowing document fingerprints: distinct minima of
     md5(shingle) over each sliding window of ``window`` consecutive shingles."""

@@ -1,0 +1,186 @@
+"""KG graph analytics: degrees, two-hop, triangles, fixed-point PageRank,
+and the passage-level boilerplate detector.
+
+Hand-computed small graphs pin the semantics; a random-graph test proves the
+degree-ordered triangle orientation agrees with a brute-force id-ordered
+count; PageRank is checked for exact integer determinism (two runs, reversed
+edge input order, different partitioning -> bit-identical ranks) and against
+a NetworkX-free hand iteration of the same fixed-point recurrence.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jamie_spark import kgstats, textstats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+# K4 minus one edge (a-d): triangles abc, bcd
+K4_MINUS = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+]
+
+
+def test_degrees_directed(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("a", "b")])
+    rows = {r["node"]: (r["out_deg"], r["in_deg"]) for r in kgstats.degrees(e).collect()}
+    # duplicate a->b collapses; distinct edges: ab ac bc ca
+    assert rows == {"a": (2, 1), "b": (1, 1), "c": (1, 2)}
+
+
+def test_two_hop_counts_and_fanout_cap(spark):
+    e = _edges(spark, [("a", "m"), ("b", "m"), ("m", "x"), ("m", "y"), ("x", "y")])
+    got = {
+        (r["src"], r["dst2"]): r["n_paths"]
+        for r in kgstats.two_hop(e).collect()
+    }
+    assert got == {
+        ("a", "x"): 1, ("a", "y"): 1, ("b", "x"): 1, ("b", "y"): 1,
+        ("m", "y"): 1,
+    }
+    # cap at fanout 1: mid m (out-deg 2) is dropped as the second hop
+    capped = {
+        (r["src"], r["dst2"]): r["n_paths"]
+        for r in kgstats.two_hop(e, max_fanout=1).collect()
+    }
+    assert capped == {("m", "y"): 1}
+
+
+def test_triangles_small_graph(spark):
+    e = _edges(spark, K4_MINUS)
+    tris = sorted(tuple(r) for r in kgstats.triangles(e).collect())
+    assert tris == [("a", "b", "c"), ("b", "c", "d")]
+    assert kgstats.triangle_count(e) == 2
+
+
+def test_triangles_direction_and_dup_insensitive(spark):
+    # reversed directions + duplicates project to the same undirected graph
+    e = _edges(spark, [(b, a) for a, b in K4_MINUS] + K4_MINUS)
+    tris = sorted(tuple(r) for r in kgstats.triangles(e).collect())
+    assert tris == [("a", "b", "c"), ("b", "c", "d")]
+
+
+def _brute_triangles(pairs):
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in und for x in e})
+    tris = set()
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in und:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in und and (b, c) in und:
+                    tris.add((a, b, c))
+    return sorted(tris)
+
+
+def test_triangles_match_bruteforce_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(160)
+    ]
+    got = sorted(tuple(r) for r in kgstats.triangles(_edges(spark, pairs)).collect())
+    assert got == _brute_triangles(pairs)
+    assert len(got) > 5  # the random graph actually exercises the join
+
+
+def _fp_pagerank_py(pairs, iters, scale=kgstats.PR_SCALE):
+    edges = sorted(set(pairs))
+    nodes = sorted({x for e in edges for x in e})
+    out_deg = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        mass = {n: 0 for n in nodes}
+        for s, d in edges:
+            mass[d] += rank[s] // out_deg[s]
+        rank = {n: scale * 15 // 100 + 85 * mass[n] // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_hand_iteration(spark):
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"), ("d", "c"),
+    ]
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in kgstats.pagerank_fixed(_edges(spark, pairs), iters=4).collect()
+    }
+    assert got == _fp_pagerank_py(pairs, 4)
+    # d has no in-edges: exactly the base term after iteration 1
+    assert got["d"] == kgstats.PR_SCALE * 15 // 100
+
+
+def test_pagerank_exactly_deterministic_across_layouts(spark):
+    rng = random.Random(3)
+    nodes = [f"v{i}" for i in range(40)]
+    pairs = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)})
+    a = kgstats.pagerank_fixed(_edges(spark, pairs), iters=5)
+    b = kgstats.pagerank_fixed(
+        _edges(spark, list(reversed(pairs))).repartition(17), iters=5
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb  # int64 arithmetic: no float summation-order drift
+    assert ra == sorted(_fp_pagerank_py(pairs, 5).items())
+
+
+def test_pagerank_sink_accumulates_more_than_source(spark):
+    # star: everyone points at h
+    pairs = [(f"s{i}", "h") for i in range(6)]
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in kgstats.pagerank_fixed(_edges(spark, pairs), iters=3).collect()
+    }
+    assert got["h"] > got["s0"]
+    assert all(got[f"s{i}"] == got["s0"] for i in range(6))
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_common_passages_finds_shared_boilerplate(spark):
+    boiler = "all rights reserved contact us terms of service apply now"
+    texts = [f"doc {i} body words {boiler}" for i in range(5)]
+    texts.append("unique document with no shared passage at all here ok")
+    out = textstats.common_passages(
+        _docs_df(spark, texts), k=4, stride=1, min_docs=5
+    ).collect()
+    passages = {r["passage"]: r["n_docs"] for r in out}
+    assert passages["all rights reserved contact"] == 5
+    assert all(n >= 5 for n in passages.values())
+    assert not any("unique" in p for p in passages)
+
+
+def test_common_passages_short_docs_and_within_doc_repeat(spark):
+    texts = [
+        "too short",                      # < k words: no windows
+        "x y z w x y z w",               # internal repeat counts ONCE per doc
+        "x y z w a b c d",
+    ]
+    out = textstats.common_passages(
+        _docs_df(spark, texts), k=4, stride=4, min_docs=2
+    ).collect()
+    got = {r["passage"]: r["n_docs"] for r in out}
+    assert got == {"x y z w": 2}
+
+
+def test_common_passages_stride_alignment(spark):
+    # stride 2 over 6 words, k=3 -> windows at pos 1 and 3 only
+    out = textstats.common_passages(
+        _docs_df(spark, ["a b c d e f", "a b c d e f"]), k=3, stride=2, min_docs=2
+    ).collect()
+    assert sorted(r["passage"] for r in out) == ["a b c", "c d e"]
