@@ -694,6 +694,14 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgstats.pagerank_fixed(_word_edges(spark, sf_dir), iters=5)
 
 
+def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (4 rounds, min tie-break):
+    deterministic across engines, so the unrolled-CTE oracle matches exactly."""
+    from jamie_spark import kgstats
+
+    return kgstats.label_propagation(_word_edges(spark, sf_dir), iters=4)
+
+
 #: passage window / stride / document-frequency floor — single source for the
 #: Spark entry and the DuckDB oracle
 _PASSAGE_K = 8
@@ -726,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": _kg_two_hop,
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
+        "kg_communities": _kg_communities,
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
@@ -873,6 +882,35 @@ edges AS (
     WHERE len(ws) >= 2
 ),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    """kgstats.label_propagation unrolled: per round, mode-of-neighbor-labels
+    with (count DESC, label ASC) tie-break — a total order, so the result is
+    partitioning- and engine-independent without any float arithmetic."""
+    ctes = [
+        """und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und),
+l0 AS (SELECT DISTINCT node, node AS label FROM adj)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""l{i} AS (
+    SELECT node, nbr_label AS label FROM (
+        SELECT node, nbr_label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, nbr_label ASC) AS rn
+        FROM (SELECT a.node, l.label AS nbr_label, COUNT(*) AS cnt
+              FROM adj a JOIN l{i - 1} l ON l.node = a.nbr
+              GROUP BY a.node, l.label)
+    ) WHERE rn = 1)""")
+    return (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iters}"
+    )
 
 
 def _pagerank_sql(iters: int = 5, scale: int = 1_000_000_000) -> str:
@@ -1674,6 +1712,7 @@ JOIN und e2 ON e2.a = e1.b
 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
         "kg_pagerank": _pagerank_sql(5),
+        "kg_communities": _lpa_sql(4),
         "dedup_passages": f"""
 WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
 win AS (

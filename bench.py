@@ -137,6 +137,7 @@ def main() -> None:
         "kg_two_hop",
         "kg_triangles",
         "kg_pagerank",
+        "kg_communities",
         "dedup_passages",
         "token_counts",
         "text_quality",

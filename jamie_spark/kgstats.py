@@ -166,6 +166,60 @@ def triangle_count(edges: "DataFrame") -> int:
     return triangles(edges).count()
 
 
+def label_propagation(edges: "DataFrame", iters: int = 4) -> "DataFrame":
+    """Synchronous label-propagation community detection, deterministic.
+
+    label_0(v)     = v
+    label_{i+1}(v) = the most frequent label among v's undirected neighbors,
+                     ties broken by MIN label. The vertex set is the edge
+                     endpoints (self-loops dropped), so every vertex has a
+                     neighbor. (Classic async LPA visits vertices in random
+                     order — useless for a reproducible pipeline; the
+                     synchronous variant with a total tie-break is exactly
+                     reproducible across engines and partitionings, so it
+                     value-oracles against an unrolled-CTE DuckDB twin the
+                     same way pagerank_fixed does.)
+
+    Per iteration: one join (adjacency x labels, shuffled on the neighbor
+    key) + one count aggregation + one max_by-style reduction — no window
+    sort; the per-vertex argmax uses ``min_by`` over the (-count, label)
+    struct so the whole step stays a hash aggregation. Fixed ``iters`` keeps
+    the round count independent of data (communities stabilize in a handful
+    of rounds; convergence detection would add a driver action per round).
+    """
+    und = _undirected(edges)
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    nodes = adj.select("node").distinct()
+    adj = adj.persist()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nbr_labels = adj.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+            ),
+            "nbr",
+        )
+        counts = nbr_labels.groupBy("node", "nbr_label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best = counts.groupBy("node").agg(
+            F.min_by(
+                "nbr_label", F.struct((-F.col("cnt")).alias("neg"), "nbr_label")
+            ).alias("label")
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    adj.unpersist()
+    return labels
+
+
 def pagerank_fixed(
     edges: "DataFrame",
     iters: int = 5,

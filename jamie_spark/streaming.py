@@ -262,6 +262,33 @@ def stream_sessions(
     )
 
 
+def dedup_stream(
+    pages_stream: "DataFrame", watermark: str = "10 minutes"
+) -> "DataFrame":
+    """Exact dedup AT INGEST: drop re-crawled/mirrored pages by content hash
+    before they ever reach the extractor (at web scale the same boilerplate
+    page arrives from thousands of mirrors — paying a model forward for each
+    copy is the single biggest avoidable cost in the pipeline).
+
+    Built on ``dropDuplicatesWithinWatermark``: state holds one entry per
+    DISTINCT content hash seen within the watermark horizon and is evicted
+    deterministically as event time advances — bounded state at any crawl
+    rate, unlike a bare streaming ``dropDuplicates`` whose hash set grows
+    forever. The horizon is a semantic knob: a duplicate arriving later than
+    ``watermark`` after the first copy is re-emitted (and collapsed by the
+    downstream BATCH dedup_exact pass, which stays authoritative — this
+    operator is the cheap early filter, not the source of truth).
+
+    The hash is computed JVM-side (md5 of the raw html) so the dedup runs
+    entirely inside the stream's stateful exchange — no Python in the path.
+    """
+    return (
+        pages_stream.withColumn("content_hash", F.md5("html"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def crawl_rate(
     pages_stream: "DataFrame",
     watermark: str = "10 minutes",

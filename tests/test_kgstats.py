@@ -146,6 +146,52 @@ def test_pagerank_sink_accumulates_more_than_source(spark):
     assert all(got[f"s{i}"] == got["s0"] for i in range(6))
 
 
+def _lpa_py(pairs, iters):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    label = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[label[m]] = counts.get(label[m], 0) + 1
+            nxt[n] = min(counts, key=lambda lb: (-counts[lb], lb))
+        label = nxt
+    return label
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    clique1 = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+    clique2 = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    pairs = clique1 + clique2 + [("a3", "b1")]
+    got = {
+        r["node"]: r["label"]
+        for r in kgstats.label_propagation(_edges(spark, pairs), iters=4).collect()
+    }
+    assert got == _lpa_py(pairs, 4)
+    # the two cliques land in different communities
+    assert len({got["a1"], got["a2"]}) == 1
+    assert len({got["b2"], got["b3"]}) == 1
+    assert got["a1"] != got["b2"]
+
+
+def test_label_propagation_deterministic_across_layouts(spark):
+    rng = random.Random(11)
+    nodes = [f"v{i}" for i in range(30)]
+    pairs = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    a = kgstats.label_propagation(_edges(spark, pairs), iters=4)
+    b = kgstats.label_propagation(
+        _edges(spark, list(reversed(pairs))).repartition(13), iters=4
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    assert ra == sorted(tuple(r) for r in b.collect())
+    assert ra == sorted(_lpa_py(pairs, 4).items())
+
+
 def _docs_df(spark, texts):
     return spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

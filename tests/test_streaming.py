@@ -254,3 +254,40 @@ def test_crawl_rate_watermarked_window(spark, staged_corpus, tmp_path):
     for r in emitted:
         assert exp[(r["window_start"], r["lang"])] == r["n_pages"]
     assert got <= pages.count()
+
+
+def test_dedup_stream_drops_recrawled_pages(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based ingest dedup: a mirrored corpus
+    (every page arrives twice under a different url, same html + warc_ts)
+    collapses to one survivor per distinct content hash. Watermark (2h)
+    exceeds the corpus event-time span (40 min), so no state eviction can
+    re-admit a duplicate regardless of micro-batch file order."""
+    pages = fixtures.pages_df(spark, 40, seed=5)
+    mirrored = pages.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?mirror=1"))
+    )
+    src = str(tmp_path / "dedup_in")
+    pages.unionByName(mirrored).repartition(5).write.parquet(src)
+
+    stream = streaming.read_page_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        streaming.dedup_stream(stream, watermark="2 hours")
+        .select("content_hash")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream_t")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r[0] for r in spark.sql("SELECT content_hash FROM dedup_stream_t").collect()
+    }
+    expected = {
+        r[0] for r in pages.select(F.md5("html")).distinct().collect()
+    }
+    assert got == expected
+    n_emitted = spark.sql("SELECT count(*) FROM dedup_stream_t").first()[0]
+    assert n_emitted == len(expected)  # exactly one survivor per content
