@@ -195,6 +195,52 @@ def main() -> None:
             "stress_verified_pairs": n_pairs,
         }
 
+        # graph-analytics scale stress: power-law edge set (Zipf-ish heads on
+        # both endpoints — the canonical web-KG degree distribution), sized by
+        # the same knob. Evidences the degree-ordered triangle orientation and
+        # the integer-PageRank iteration shape at hub degrees the sf0.01 word
+        # graph never reaches.
+        from pyspark.sql import functions as SF
+
+        from jamie_spark import kgstats
+
+        n_edges = stress_docs
+        u1 = SF.pmod(SF.xxhash64("id", SF.lit(17)), SF.lit(1_000_000)) / 1e6
+        u2 = SF.pmod(SF.xxhash64("id", SF.lit(23)), SF.lit(1_000_000)) / 1e6
+        n_nodes = float(max(n_edges // 10, 100))
+        gedges = spark.range(0, n_edges, numPartitions=cpus).select(
+            SF.concat(
+                SF.lit("N"), SF.floor(SF.pow(SF.lit(n_nodes), u1)).cast("string")
+            ).alias("src"),
+            SF.concat(
+                SF.lit("N"), SF.floor(SF.pow(SF.lit(n_nodes), u2)).cast("string")
+            ).alias("dst"),
+        ).persist()
+        gedges.count()
+        t = time.perf_counter()
+        n_tri = kgstats.triangles(gedges).count()
+        timings["graph_stress_triangles"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        kgstats.pagerank_fixed(gedges, iters=3).count()
+        timings["graph_stress_pagerank"] = round(time.perf_counter() - t, 3)
+        max_oriented = (
+            kgstats.orient(gedges)
+            .groupBy("lo")
+            .agg(SF.count(SF.lit(1)).alias("fan"))
+            .agg(SF.max("fan"))
+            .first()[0]
+        )
+        gedges.unpersist()
+        for k in ("graph_stress_triangles", "graph_stress_pagerank"):
+            spread[k] = [timings[k], timings[k]]
+        stress.update(
+            {
+                "graph_edges": n_edges,
+                "graph_triangles": n_tri,
+                "graph_max_oriented_fanout": max_oriented,
+            }
+        )
+
     wall = round(time.perf_counter() - t0, 3)
     result = {
         "metric": "total_bench_sec",

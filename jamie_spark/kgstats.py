@@ -107,21 +107,13 @@ def _undirected(edges: "DataFrame") -> "DataFrame":
     )
 
 
-def triangles(edges: "DataFrame") -> "DataFrame":
-    """Enumerate triangles (a, b, c), a < b < c, of the undirected projection.
-
-    Plan: orient every undirected edge from the LOWER to the HIGHER endpoint
-    under the total order (degree, node) — so every vertex's oriented
-    out-degree is bounded by O(sqrt(m)) on any graph — then join oriented
-    wedges (x->y, x->z) back against oriented edges (y->z). The orientation
-    changes WHICH joins produce each triangle but never the set of triangles,
-    so a plain id-ordered 3-way self-join is a valid cross-engine oracle
-    while Spark runs the skew-proof plan.
-
-    The wedge join shuffles on the wedge's low vertex; the closing join on
-    (y, z) is an equi-join on both endpoints. Output columns are the
-    id-sorted triple so the result is orientation-independent.
-    """
+def orient(edges: "DataFrame") -> "DataFrame":
+    """Degree-order the undirected projection: every edge points from the
+    LOWER to the HIGHER endpoint under the total order (degree, node) — so
+    every vertex's oriented out-degree is bounded by O(sqrt(m)) on any graph
+    (a max-degree hub's edges ALL point into it: oriented out-degree 0).
+    Public so the skew tests can assert the hub-flattening directly.
+    Returns (lo, hi)."""
     und = _undirected(edges)
     deg = (
         und.select(F.col("a").alias("node"))
@@ -132,7 +124,7 @@ def triangles(edges: "DataFrame") -> "DataFrame":
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     # orient low -> high under (deg, id); ties broken by id so the order is total
-    oriented = (
+    return (
         und.join(da, "a")
         .join(db, "b")
         .select(
@@ -146,6 +138,24 @@ def triangles(edges: "DataFrame") -> "DataFrame":
         )
         .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
     )
+
+
+def triangles(edges: "DataFrame") -> "DataFrame":
+    """Enumerate triangles (a, b, c), a < b < c, of the undirected projection.
+
+    Plan: degree-ordered orientation (see :func:`orient`) bounds wedge
+    generation by O(m * arboricity) instead of O(sum deg^2); oriented wedges
+    (x->y, x->z) are joined back against undirected edges (y, z). The
+    orientation changes WHICH joins produce each triangle but never the set
+    of triangles, so a plain id-ordered 3-way self-join is a valid
+    cross-engine oracle while Spark runs the skew-proof plan.
+
+    The wedge join shuffles on the wedge's low vertex; the closing join on
+    (y, z) is an equi-join on both endpoints. Output columns are the
+    id-sorted triple so the result is orientation-independent.
+    """
+    und = _undirected(edges)
+    oriented = orient(edges)
     w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     # y < z by id keeps each wedge once (both orderings close the same triangle)

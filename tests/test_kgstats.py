@@ -146,6 +146,37 @@ def test_pagerank_sink_accumulates_more_than_source(spark):
     assert all(got[f"s{i}"] == got["s0"] for i in range(6))
 
 
+def test_orientation_flattens_power_law_hub(spark):
+    """The scale claim behind triangles(): on a power-law graph the oriented
+    out-degree collapses — a 50k-degree hub generates ZERO wedges because
+    every one of its edges points INTO it (it is the degree-max endpoint).
+    Without the orientation the hub alone would contribute ~1.2e9 wedges."""
+    n = 200_000
+    u1 = F.pmod(F.xxhash64("id", F.lit(17)), F.lit(1_000_000)) / 1_000_000.0
+    u2 = F.pmod(F.xxhash64("id", F.lit(23)), F.lit(1_000_000)) / 1_000_000.0
+    edges = spark.range(0, n, numPartitions=8).select(
+        F.concat(F.lit("N"), F.floor(F.pow(F.lit(50_000.0), u1)).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("N"), F.floor(F.pow(F.lit(50_000.0), u2)).cast("string"))
+        .alias("dst"),
+    )
+    max_deg = (
+        kgstats.degrees(edges)
+        .agg(F.max(F.col("out_deg") + F.col("in_deg")))
+        .first()[0]
+    )
+    max_oriented = (
+        kgstats.orient(edges)
+        .groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("fan"))
+        .agg(F.max("fan"))
+        .first()[0]
+    )
+    assert max_deg > 2_000  # the generator really produces a hub
+    # oriented fanout is within a small factor of sqrt(m), orders below the hub
+    assert max_oriented * 20 < max_deg, (max_oriented, max_deg)
+
+
 def _lpa_py(pairs, iters):
     und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
     adj = {}
