@@ -694,6 +694,17 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgstats.pagerank_fixed(_word_edges(spark, sf_dir), iters=5)
 
 
+def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the window triples (graph.to_ntriples).
+    The fixture surfaces are plain lowercase words, so percent-encoding is
+    the identity here and the oracle can concat raw strings; the escaping
+    rules themselves are pinned by tests/test_io.py with hostile literals."""
+    t = _kg_triples_window(spark, sf_dir).select(
+        F.col("subj").alias("subj_id"), "pred", F.col("obj").alias("obj_id")
+    )
+    return graph.to_ntriples(t)
+
+
 def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (4 rounds, min tie-break):
     deterministic across engines, so the unrolled-CTE oracle matches exactly."""
@@ -735,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
         "kg_communities": _kg_communities,
+        "kg_ntriples": _kg_ntriples,
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
@@ -1713,6 +1725,22 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
         "kg_pagerank": _pagerank_sql(5),
         "kg_communities": _lpa_sql(4),
+        "kg_ntriples": f"""
+WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
+words AS (
+    SELECT doc_id, unnest(ws) AS surface,
+           CAST(generate_subscripts(ws, 1) AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+m AS (SELECT w.doc_id, w.pos, w.surface, d.tag
+      FROM words w JOIN dict d ON w.surface = d.surface)
+SELECT '<http://example.org/kg/entity/' || a.surface || '>'
+       || ' <http://example.org/kg/pred/acts_on> '
+       || '"' || b.surface || '" .' AS line
+FROM m a JOIN m b ON a.doc_id = b.doc_id
+WHERE a.tag = 'op' AND b.tag = 'obj'
+  AND b.pos > a.pos AND b.pos - a.pos <= 3
+""",
         "dedup_passages": f"""
 WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
 win AS (

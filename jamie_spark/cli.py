@@ -44,7 +44,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel-buckets", type=int, default=1,
                    help="overlap N bucket runs via driver threads (per-bucket"
                         " lineage atomicity preserved)")
+    p.add_argument("--analytics", action="store_true",
+                   help="after the pipeline, compute the graph profile of "
+                        "the materialized KG (degrees, fixed-point PageRank, "
+                        "LPA communities) into <out>/analytics/")
+    p.add_argument("--export-nt", metavar="PATH",
+                   help="also publish the materialized KG as N-Triples text "
+                        "at PATH")
     return p
+
+
+def run_analytics(spark, out_dir: str) -> None:
+    """Graph profile of the materialized KG -> <out>/analytics/ parquet."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jamie_spark import kgstats, pipeline
+
+    edges = pipeline.read_materialized(spark, out_dir).select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    )
+    base = os.path.join(out_dir, "analytics")
+    kgstats.degrees(edges).write.mode("overwrite").parquet(
+        os.path.join(base, "degrees")
+    )
+    kgstats.pagerank_fixed(edges, iters=5).write.mode("overwrite").parquet(
+        os.path.join(base, "pagerank")
+    )
+    kgstats.label_propagation(edges, iters=4).write.mode("overwrite").parquet(
+        os.path.join(base, "communities")
+    )
+    print(f"analytics written: {base}/{{degrees,pagerank,communities}}")
 
 
 def run_converter(spark, args) -> int:
@@ -120,6 +151,15 @@ def main(argv: list[str] | None = None) -> int:
     total = lin.groupBy().sum("triple_count").first()[0] or 0
     print(f"processed buckets this run: {done}")
     print(f"total triples materialized: {total}")
+    if args.analytics:
+        run_analytics(spark, args.out)
+    if args.export_nt:
+        from jamie_spark import graph
+
+        graph.write_ntriples(
+            pipeline.read_materialized(spark, args.out), args.export_nt
+        )
+        print(f"ntriples written: {args.export_nt}")
     return 0
 
 

@@ -156,3 +156,32 @@ def test_xml_mod_attributes_roundtrip(spark, extracted):
         extracted["mentions"].where(F.col("mod_tag") != "_").count()
     )
     assert n_mod == gold_mod
+
+
+def test_ntriples_escaping_and_iri_objects(spark, tmp_path):
+    from jamie_spark import graph
+
+    rows = [
+        ("s1", "rel", 'he said "hi"\nline\\path\ttab'),
+        ("s two", "rel", "C000123"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string"
+    )
+    lines = {r["line"] for r in graph.to_ntriples(df).collect()}
+    assert (
+        '<http://example.org/kg/entity/s1> <http://example.org/kg/pred/rel> '
+        '"he said \\"hi\\"\\nline\\\\path\\ttab" .'
+    ) in lines
+    # canonical C-ids publish as IRIs; subject spaces percent-encode
+    assert (
+        '<http://example.org/kg/entity/s+two> <http://example.org/kg/pred/rel> '
+        '<http://example.org/kg/entity/C000123> .'
+    ) in lines
+    # every emitted line is single-line (the point of the escaping)
+    assert all("\n" not in ln for ln in lines)
+
+    out = str(tmp_path / "nt_out")
+    graph.write_ntriples(df, out)
+    back = {r["value"] for r in spark.read.text(out).collect()}
+    assert back == lines

@@ -398,3 +398,34 @@ def test_parallel_buckets_resume_idempotent(spark, corpus, tmp_path):
 
     lin = pipeline.lineage.read_lineage(spark, out)
     assert lin.groupBy("bucket").count().where(F.col("count") > 1).count() == 0
+
+
+def test_cli_analytics_and_ntriples_export(spark, tmp_path):
+    """--analytics and --export-nt publish the graph profile and the
+    N-Triples view of the materialized KG from the same CLI invocation."""
+    from jamie_spark import cli
+
+    out = str(tmp_path / "kg_out")
+    nt = str(tmp_path / "kg.nt")
+    rc = cli.main([
+        "--fixture", "40", "--out", out, "--buckets", "2",
+        "--analytics", "--export-nt", nt,
+    ])
+    assert rc == 0
+    triples = pipeline.read_materialized(spark, out)
+    n = triples.count()
+    assert n > 0
+    deg = spark.read.parquet(f"{out}/analytics/degrees")
+    pr = spark.read.parquet(f"{out}/analytics/pagerank")
+    lp = spark.read.parquet(f"{out}/analytics/communities")
+    n_nodes = (
+        triples.select(F.col("subj_id").alias("n"))
+        .unionByName(triples.select(F.col("obj_id").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert deg.count() == n_nodes == pr.count()
+    assert 0 < lp.count() <= n_nodes  # LPA drops self-loop-only vertices
+    lines = spark.read.text(nt)
+    assert lines.count() == n
+    assert lines.where(~F.col("value").rlike("^<.+> <.+> .+ \\.$")).count() == 0
