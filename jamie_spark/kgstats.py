@@ -176,7 +176,9 @@ def triangle_count(edges: "DataFrame") -> int:
     return triangles(edges).count()
 
 
-def label_propagation(edges: "DataFrame", iters: int = 4) -> "DataFrame":
+def label_propagation(
+    edges: "DataFrame", iters: int = 4, checkpoint_every: int = 3
+) -> "DataFrame":
     """Synchronous label-propagation community detection, deterministic.
 
     label_0(v)     = v
@@ -196,15 +198,21 @@ def label_propagation(edges: "DataFrame", iters: int = 4) -> "DataFrame":
     struct so the whole step stays a hash aggregation. Fixed ``iters`` keeps
     the round count independent of data (communities stabilize in a handful
     of rounds; convergence detection would add a driver action per round).
+
+    ``checkpoint_every``: lineage is truncated with an eager localCheckpoint
+    every N rounds, not every round — each eager checkpoint is a full
+    materialization barrier (a scheduled job), pure overhead when Catalyst
+    can plan 2-3 chained rounds as one job; unbounded chaining would instead
+    grow the plan tree superlinearly. Same knob on :func:`pagerank_fixed`.
     """
     und = _undirected(edges)
     adj = und.select(
         F.col("a").alias("node"), F.col("b").alias("nbr")
     ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-    nodes = adj.select("node").distinct()
     adj = adj.persist()
+    nodes = adj.select("node").distinct().persist()
     labels = nodes.select("node", F.col("node").alias("label"))
-    for _ in range(iters):
+    for it in range(iters):
         nbr_labels = adj.join(
             labels.select(
                 F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
@@ -219,14 +227,16 @@ def label_propagation(edges: "DataFrame", iters: int = 4) -> "DataFrame":
                 "nbr_label", F.struct((-F.col("cnt")).alias("neg"), "nbr_label")
             ).alias("label")
         )
-        labels = (
-            nodes.join(best, "node", "left")
-            .select(
-                "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
-            )
-            .localCheckpoint(eager=True)
+        labels = nodes.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    # materialize BEFORE dropping the loop-invariant caches: the returned
+    # frame must not silently recompute adj/nodes from the raw scan
+    labels = labels.localCheckpoint(eager=True)
     adj.unpersist()
+    nodes.unpersist()
     return labels
 
 
@@ -235,6 +245,7 @@ def pagerank_fixed(
     iters: int = 5,
     damping_num: int = 85,
     scale: int = PR_SCALE,
+    checkpoint_every: int = 3,
 ) -> "DataFrame":
     """Fixed-point integer PageRank, exactly reproducible across engines.
 
@@ -252,22 +263,28 @@ def pagerank_fixed(
 
     Dangling vertices (no out-edges) simply leak their mass, the classic
     simplified formulation. Each iteration is one join (edges x ranks,
-    shuffled on src) + one aggregation (shuffled on dst); ranks are
-    localCheckpoint()ed per iteration to truncate the growing plan —
-    at cluster scale a reliable checkpoint dir serves the same purpose.
+    shuffled on src) + one aggregation (shuffled on dst); lineage is
+    truncated with an eager localCheckpoint every ``checkpoint_every``
+    rounds (each is a full materialization barrier — pure overhead when
+    Catalyst can plan a few chained rounds as one job) and once at the end,
+    BEFORE the loop-invariant caches are released. At cluster scale a
+    reliable checkpoint dir serves the same purpose.
     """
     e = edges.select("src", "dst").distinct()
+    # both loop-invariant inputs are persisted: every iteration re-reads the
+    # vertex set AND the degree-annotated edges — without the cache each
+    # round would re-run the upstream scan + distinct lineage
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # edges annotated with the sender's out-degree never change -> cache once
     e_deg = e.join(out_deg, "src").persist()
     base = scale * 15 // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank_fp"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             e_deg.join(ranks, e_deg["src"] == ranks["node"])
             .select(
@@ -288,7 +305,10 @@ def pagerank_fixed(
                     )
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
     e_deg.unpersist()
+    nodes.unpersist()
     return ranks
