@@ -705,6 +705,40 @@ def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.to_ntriples(t)
 
 
+def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + last-non-null window, single shuffle, no
+    theta-join): every click gets the latest preceding purchase value per
+    user. Oracle: DuckDB's NATIVE ASOF LEFT JOIN — the composition is
+    value-checked against a first-class implementation."""
+    from jamie_spark import temporal
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return temporal.asof_join(left, right).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value_right", 4).alias("purchase_value"),
+    )
+
+
+def _range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join (time-bucketed equi-join, fanout 2/row):
+    events per user in the following hour."""
+    from jamie_spark import temporal
+
+    return temporal.range_count(
+        _read(spark, sf_dir, "events"), horizon_sec=3600
+    )
+
+
 def _kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label-propagation communities (4 rounds, min tie-break):
     deterministic across engines, so the unrolled-CTE oracle matches exactly."""
@@ -763,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": _tumbling_window,
         "skew_salted_agg": _skew_salted_agg,
         "sessionization": _sessionization,
+        "asof_join": _asof_join,
+        "range_count_1h": _range_count,
         "q3_shipping_topk": _q3_shipping_topk,
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
@@ -1725,6 +1761,23 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
         "kg_pagerank": _pagerank_sql(5),
         "kg_communities": _lpa_sql(4),
+        "asof_join": """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.user_id, l.event_id, l.ts, ROUND(r.value, 4) AS purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "range_count_1h": """
+WITH e AS (SELECT DISTINCT user_id, ts FROM events)
+SELECT a.user_id, a.ts, CAST(COUNT(b.ts) AS BIGINT) AS n_next
+FROM e a LEFT JOIN e b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + CAST(3600 AS BIGINT) * 1000000
+GROUP BY a.user_id, a.ts
+""",
         "kg_ntriples": f"""
 WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
 words AS (

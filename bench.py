@@ -123,6 +123,8 @@ def main() -> None:
         "tumbling_window",
         "skew_salted_agg",
         "sessionization",
+        "asof_join",
+        "range_count_1h",
         "q3_shipping_topk",
         "q5_regional_revenue",
         "r2_pair_counts",

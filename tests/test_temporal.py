@@ -1,0 +1,103 @@
+"""As-of join and bounded range join: hand-pinned semantics + random-data
+brute-force equivalence (the bucketed/window implementations must match the
+obvious O(n^2) definition exactly)."""
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from jamie_spark import temporal
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _t(5), "a"), (1, _t(10), "b"), (1, _t(2), "c"), (2, _t(7), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), 50.0), (1, _t(8), 80.0), (2, _t(9), 90.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["ts"].second): r["value_right"]
+        for r in temporal.asof_join(left, right).collect()
+    }
+    assert got == {
+        (1, 5): 50.0,   # equality matches (inclusive)
+        (1, 10): 80.0,  # latest preceding
+        (1, 2): None,   # before any right row
+        (2, 7): None,   # right row for user 2 is later
+    }
+
+
+def test_asof_join_keeps_left_payload(spark):
+    left = spark.createDataFrame(
+        [(1, _t(9), "x")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(3), 7.0)], "user_id long, ts timestamp, value double"
+    )
+    row = temporal.asof_join(left, right).first()
+    assert (row["tag"], row["value_right"]) == ("x", 7.0)
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    rng = random.Random(9)
+    left = [
+        (rng.randrange(5), _t(rng.randrange(60)), float(i))
+        for i in range(200)
+    ]
+    right_raw = {
+        (rng.randrange(5), rng.randrange(60)): float(1000 + i)
+        for i in range(120)
+    }
+    right = [(u, _t(s), v) for (u, s), v in right_raw.items()]
+    ldf = spark.createDataFrame(left, "user_id long, ts timestamp, lval double")
+    rdf = spark.createDataFrame(right, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["ts"], r["lval"]): r["value_right"]
+        for r in temporal.asof_join(ldf, rdf).collect()
+    }
+    assert len(got) == len(set((u, t, v) for u, t, v in left))
+    for u, t, lv in set(left):
+        cands = [(rt, rv) for ru, rt, rv in right if ru == u and rt <= t]
+        exp = max(cands)[1] if cands else None
+        assert got[(u, t, lv)] == exp, (u, t)
+
+
+def test_range_count_boundaries(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _t(0)), (1, _t(10)), (1, _t(10)),  # dup ts collapses
+            (1, _t(11)), (2, _t(5)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r["user_id"], r["ts"].second): r["n_next"]
+        for r in temporal.range_count(ev, horizon_sec=10).collect()
+    }
+    # from t=0: t=10 is inside (0,10], t=11 is out; from t=10: t=11 inside
+    assert got == {(1, 0): 1, (1, 10): 1, (1, 11): 0, (2, 5): 0}
+
+
+def test_range_count_matches_bruteforce_random(spark):
+    rng = random.Random(4)
+    rows = list({(rng.randrange(4), rng.randrange(300)) for _ in range(250)})
+    ev = spark.createDataFrame(
+        [(u, _t(0) + dt.timedelta(seconds=s)) for u, s in rows],
+        "user_id long, ts timestamp",
+    )
+    horizon = 37  # deliberately not dividing the bucket grid nicely
+    got = {
+        (r["user_id"], r["ts"]): r["n_next"]
+        for r in temporal.range_count(ev, horizon_sec=horizon).collect()
+    }
+    for u, s in rows:
+        exp = sum(1 for u2, s2 in rows if u2 == u and s < s2 <= s + horizon)
+        assert got[(u, _t(0) + dt.timedelta(seconds=s))] == exp, (u, s)
