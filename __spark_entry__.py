@@ -264,38 +264,27 @@ def _relax_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     * token i -> head i+1, rel 'N'       when i % 9 == 0   (the null label
       ``rel_token_triples`` must drop, reference clinical_eval.py:31-36)
     """
+    # ONE struct-array expression carries the whole multihead rule; rels and
+    # heads are projections of it, so the rule cannot desynchronize
+    multihead = """
+        transform(sequence(0, size(split(text, ' ')) - 1), i ->
+          filter(array(
+            named_struct('r', 'next2', 'h', i + 2,
+              'ok', i % 5 = 0 AND i + 2 < size(split(text, ' '))),
+            named_struct('r', 'next3', 'h', i + 3,
+              'ok', i % 7 = 0 AND i + 3 < size(split(text, ' '))),
+            named_struct('r', 'N', 'h', i + 1,
+              'ok', i % 9 = 0 AND i + 1 < size(split(text, ' ')))
+          ), x -> x.ok))
+    """
     return _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("url"),
         F.lit(0).alias("sent_id"),
         F.expr(
-            """
-            transform(
-              transform(sequence(0, size(split(text, ' ')) - 1), i ->
-                filter(array(
-                  named_struct('r', 'next2', 'h', i + 2,
-                    'ok', i % 5 = 0 AND i + 2 < size(split(text, ' '))),
-                  named_struct('r', 'next3', 'h', i + 3,
-                    'ok', i % 7 = 0 AND i + 3 < size(split(text, ' '))),
-                  named_struct('r', 'N', 'h', i + 1,
-                    'ok', i % 9 = 0 AND i + 1 < size(split(text, ' ')))
-                ), x -> x.ok)),
-              lst -> transform(lst, x -> x.r))
-            """
+            f"transform({multihead}, lst -> transform(lst, x -> x.r))"
         ).alias("rels"),
         F.expr(
-            """
-            transform(
-              transform(sequence(0, size(split(text, ' ')) - 1), i ->
-                filter(array(
-                  named_struct('r', 'next2', 'h', i + 2,
-                    'ok', i % 5 = 0 AND i + 2 < size(split(text, ' '))),
-                  named_struct('r', 'next3', 'h', i + 3,
-                    'ok', i % 7 = 0 AND i + 3 < size(split(text, ' '))),
-                  named_struct('r', 'N', 'h', i + 1,
-                    'ok', i % 9 = 0 AND i + 1 < size(split(text, ' ')))
-                ), x -> x.ok)),
-              lst -> transform(lst, x -> x.h))
-            """
+            f"transform({multihead}, lst -> transform(lst, x -> x.h))"
         ).alias("heads"),
     )
 
@@ -961,18 +950,21 @@ l0 AS (SELECT DISTINCT node, node AS label FROM adj)"""
     )
 
 
-def _pagerank_sql(iters: int = 5, scale: int = 1_000_000_000) -> str:
+def _pagerank_sql(
+    iters: int = 5, scale: int = 1_000_000_000, damping_num: int = 85
+) -> str:
     """kgstats.pagerank_fixed unrolled as chained CTEs: the recurrence is
     all int64 arithmetic (// division, integer sums), so DuckDB reproduces
     Spark's ranks exactly — no float summation-order drift to round away."""
-    base = scale * 15 // 100
+    base = scale * (100 - damping_num) // 100
     ctes = [
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
     ]
     for i in range(1, iters + 1):
         ctes.append(f"""r{i} AS (
     SELECT n.node,
-           CAST({base} + (85 * COALESCE(m.mass, 0)) // 100 AS BIGINT) AS rank_fp
+           CAST({base} + ({damping_num} * COALESCE(m.mass, 0)) // 100 AS BIGINT)
+               AS rank_fp
     FROM nodes n LEFT JOIN (
         SELECT ed.dst AS node, SUM(r.rank_fp // ed.out_deg) AS mass
         FROM (SELECT e.src, e.dst, o.out_deg

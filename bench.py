@@ -207,16 +207,8 @@ def main() -> None:
         from jamie_spark import kgstats
 
         n_edges = stress_docs
-        u1 = SF.pmod(SF.xxhash64("id", SF.lit(17)), SF.lit(1_000_000)) / 1e6
-        u2 = SF.pmod(SF.xxhash64("id", SF.lit(23)), SF.lit(1_000_000)) / 1e6
-        n_nodes = float(max(n_edges // 10, 100))
-        gedges = spark.range(0, n_edges, numPartitions=cpus).select(
-            SF.concat(
-                SF.lit("N"), SF.floor(SF.pow(SF.lit(n_nodes), u1)).cast("string")
-            ).alias("src"),
-            SF.concat(
-                SF.lit("N"), SF.floor(SF.pow(SF.lit(n_nodes), u2)).cast("string")
-            ).alias("dst"),
+        gedges = fixtures.zipf_edges_df(
+            spark, n_edges, max(n_edges // 10, 100), num_partitions=cpus
         ).persist()
         gedges.count()
         t = time.perf_counter()
@@ -244,9 +236,19 @@ def main() -> None:
         )
 
     wall = round(time.perf_counter() - t0, 3)
+    # headline = sum of per-query MEDIANS only; the single-run stress stages
+    # are deliberately excluded (they exist as scale evidence, not as a
+    # low-variance latency signal, and they resize with SPARK_GRAFT_*_DOCS —
+    # folding them in would break round-over-round comparability)
+    stress_keys = {k for k in timings if "_stress_" in k}
     result = {
         "metric": "total_bench_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(
+            sum(v for k, v in timings.items() if k not in stress_keys), 3
+        ),
+        "stress_sec": round(
+            sum(v for k, v in timings.items() if k in stress_keys), 3
+        ),
         "unit": "sec",
         "queries": timings,
         "spread": spread,

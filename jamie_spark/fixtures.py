@@ -420,3 +420,28 @@ def concept_df(spark):
         concepts.concept_rows(),
         schema="concept_id string, canonical string, alias string, sem_type string",
     )
+
+
+def zipf_edges_df(
+    spark,
+    n_edges: int,
+    n_nodes: float,
+    seeds: tuple[int, int] = (17, 23),
+    num_partitions: int = 32,
+):
+    """Deterministic power-law directed edge set (src, dst): both endpoints
+    drawn log-uniformly over [1, n_nodes] (node ``N1`` is the mega-hub with
+    ~ln2/ln(n_nodes) of all endpoint draws) — the canonical web-KG degree
+    distribution. Single source for the kgstats skew tests AND the bench
+    graph-stress stage: the generator IS the skew contract, so the two must
+    never drift."""
+
+    def draw(seed):
+        u = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1_000_000)) / 1e6
+        return F.concat(
+            F.lit("N"), F.floor(F.pow(F.lit(float(n_nodes)), u)).cast("string")
+        )
+
+    return spark.range(0, n_edges, numPartitions=num_partitions).select(
+        draw(seeds[0]).alias("src"), draw(seeds[1]).alias("dst")
+    )

@@ -182,12 +182,14 @@ def to_ntriples(triples: "DataFrame", base: str = NT_BASE) -> "DataFrame":
     otherwise. One narrow projection — no shuffle, no Python; writing is an
     embarrassingly parallel text sink."""
     obj_is_iri = F.col("obj_id").rlike("^C[0-9]+$")
-    subj = F.concat(
-        F.lit(f"<{base}entity/"), F.expr("url_encode(subj_id)"), F.lit(">")
+    # url_encode is form-encoding (space -> '+'); RDF IRIs need true percent
+    # encoding, and an input '+' is already %2B at this point, so the
+    # post-replace is unambiguous
+    enc = lambda c: F.regexp_replace(  # noqa: E731
+        F.expr(f"url_encode({c})"), r"\+", "%20"
     )
-    pred = F.concat(
-        F.lit(f"<{base}pred/"), F.expr("url_encode(pred)"), F.lit(">")
-    )
+    subj = F.concat(F.lit(f"<{base}entity/"), enc("subj_id"), F.lit(">"))
+    pred = F.concat(F.lit(f"<{base}pred/"), enc("pred"), F.lit(">"))
     obj = F.when(
         obj_is_iri,
         F.concat(F.lit(f"<{base}entity/"), F.col("obj_id"), F.lit(">")),

@@ -251,7 +251,7 @@ def pagerank_fixed(
 
     rank_0(v)   = scale                       (i.e. 1.0 in fixed-point units)
     contrib(e)  = rank_i(src) DIV out_deg(src)             (integer division)
-    rank_{i+1}(v) = (15*scale) DIV 100
+    rank_{i+1}(v) = ((100 - damping_num) * scale) DIV 100
                   + (damping_num * SUM contrib(in-edges))  DIV 100
 
     Every operation is int64 arithmetic: sums are associative/commutative
@@ -282,7 +282,7 @@ def pagerank_fixed(
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(out_deg, "src").persist()
-    base = scale * 15 // 100
+    base = scale * (100 - damping_num) // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank_fp"))
     for it in range(iters):
         contribs = (

@@ -276,6 +276,7 @@ def candidate_pairs(
     embeddings: "DataFrame",
     n_planes: int | None = None,
     n_tables: int = N_TABLES,
+    n_rows: int | None = None,
 ) -> "DataFrame":
     """(vec_a, vec_b) — deduped same-bucket candidate pairs, IDS ONLY.
 
@@ -283,10 +284,15 @@ def candidate_pairs(
     embedding payloads. Downstream verification attaches embeddings exactly
     once per surviving pair. ``n_planes=None`` (default) auto-derives from
     the corpus count via :func:`planes_for_corpus` so buckets stay bounded
-    at any scale.
+    at any scale. The derivation fires an EAGER count() at plan-construction
+    time — metadata-cheap on a parquet scan, but a full extra execution when
+    ``embeddings`` is a derived, uncached frame: pass ``n_rows`` (or
+    ``n_planes``) explicitly in that case.
     """
     if n_planes is None:
-        n_planes = planes_for_corpus(embeddings.count())
+        n_planes = planes_for_corpus(
+            embeddings.count() if n_rows is None else n_rows
+        )
     sig = bucket_signatures(embeddings, n_planes, n_tables)
     return (
         sig.alias("a")
@@ -319,6 +325,7 @@ def cosine_pairs_lsh(
     threshold: float = 0.45,
     n_planes: int | None = None,
     n_tables: int = N_TABLES,
+    n_rows: int | None = None,
 ) -> "DataFrame":
     """(vec_a, vec_b, score) — embedding near-dup pairs, LSH-bucketed.
 
@@ -329,7 +336,7 @@ def cosine_pairs_lsh(
     100x. Candidates are id pairs; embeddings + scalar norms attach once per
     deduped pair for the exact verify.
     """
-    cand = candidate_pairs(embeddings, n_planes, n_tables)
+    cand = candidate_pairs(embeddings, n_planes, n_tables, n_rows=n_rows)
     a, b = (_with_norm(embeddings, f"vec_{s}") for s in ("a", "b"))
     return (
         cand.join(a, "vec_a")
@@ -459,6 +466,7 @@ def lsh_topk(
     k: int = 5,
     n_planes: int | None = None,
     n_tables: int = N_TABLES,
+    n_rows: int | None = None,
 ) -> "DataFrame":
     """(query_id, rank, neighbor_id, score) — ANN via same-bucket candidates
     unioned over ``n_tables`` hash tables, then scored exactly.
@@ -469,10 +477,14 @@ def lsh_topk(
     both join sides must bucket with the same plane count). Plan shape:
     candidate ids dedup first (no embedding payloads in the shuffle), then
     ONE join attaches neighbor embeddings and the tiny query side arrives
-    by broadcast.
+    by broadcast. As in :func:`candidate_pairs`, pass ``n_rows`` when the
+    input is a derived, uncached frame (the auto-derive count() would run
+    the upstream plan once extra).
     """
     if n_planes is None:
-        n_planes = planes_for_corpus(embeddings.count())
+        n_planes = planes_for_corpus(
+            embeddings.count() if n_rows is None else n_rows
+        )
     # query-side signatures computed from the TINY query subset (broadcast)
     # rather than by filtering the corpus signature stage: the latter gives
     # the two join sides different subplans above the mapInArrow node, so

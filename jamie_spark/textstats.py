@@ -287,9 +287,15 @@ def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
 #: A band bucket of k docs yields k^2/2 candidate pairs; boilerplate-driven
 #: mega-buckets (cookie banners, footers — every web corpus has them) make
 #: that quadratic in corpus size. Chaining keeps k-1 consecutive-id edges:
-#: candidates stay linear and every bucket member remains REACHABLE, so
-#: dedup_clusters still recovers full transitive groups through the verify
-#: step. Pair-level recall inside mega-buckets is the documented trade.
+#: candidates stay linear. The trade, stated precisely: a true near-dup pair
+#: inside a mega-bucket survives only if it is connected through chain links
+#: that individually pass the Jaccard verify, or co-occurs in another
+#: (smaller) band bucket — two high-similarity docs separated by unrelated
+#: neighbors in every band they share can be MISSED, splitting a cluster.
+#: Boilerplate mega-buckets are dominated by mutually non-duplicate docs by
+#: construction (that is why they are huge), so the loss concentrates where
+#: pair signal is weakest, but it is a recall loss, not just candidate
+#: pruning.
 #: 64 is far above any bucket on the sandbox corpora (max 13 at sf0.1), so
 #: small-scale results are bit-identical to the uncapped join. Single source
 #: of truth for the Spark path AND the DuckDB oracle.
@@ -449,11 +455,14 @@ def common_passages(
     distinct documents: the exact-substring/boilerplate detector of a
     training-data pipeline (header/footer/license blocks, templated spam).
 
-    Passages are strided token windows (``stride`` > 1 trades recall of
-    arbitrary-offset repeats for a 1/stride cut in shingle volume — at 100 TB
-    the volume knob matters more than offset-exact recall, and repeated
-    BLOCKS longer than k+stride tokens are still always caught by at least
-    one aligned window). The plan is a single hash aggregation over the
+    Passages are strided token windows. ``stride`` > 1 cuts shingle volume
+    by 1/stride but windows are phased from each DOCUMENT's start: two docs
+    sharing a block only produce identical window strings when the block's
+    start offsets agree modulo ``stride``, so a universal footer at varying
+    offsets splits its count across up to ``stride`` phase classes (expected
+    per-pair catch probability 1/stride). Use stride=1 for offset-exact
+    recall, or the winnowing ``fingerprints`` operator when content-anchored
+    sampling is needed. The plan is a single hash aggregation over the
     exploded windows with map-side partial combine; per-doc dedup of the
     window list happens inside the explode projection (array_distinct) so a
     passage repeated WITHIN one doc counts once, before the shuffle.

@@ -173,9 +173,10 @@ def test_ntriples_escaping_and_iri_objects(spark, tmp_path):
         '<http://example.org/kg/entity/s1> <http://example.org/kg/pred/rel> '
         '"he said \\"hi\\"\\nline\\\\path\\ttab" .'
     ) in lines
-    # canonical C-ids publish as IRIs; subject spaces percent-encode
+    # canonical C-ids publish as IRIs; subject spaces percent-encode (%20,
+    # NOT the form-encoding '+', which a percent-decoder would keep literal)
     assert (
-        '<http://example.org/kg/entity/s+two> <http://example.org/kg/pred/rel> '
+        '<http://example.org/kg/entity/s%20two> <http://example.org/kg/pred/rel> '
         '<http://example.org/kg/entity/C000123> .'
     ) in lines
     # every emitted line is single-line (the point of the escaping)

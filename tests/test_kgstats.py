@@ -93,18 +93,19 @@ def test_triangles_match_bruteforce_random_graph(spark):
     assert len(got) > 5  # the random graph actually exercises the join
 
 
-def _fp_pagerank_py(pairs, iters, scale=kgstats.PR_SCALE):
+def _fp_pagerank_py(pairs, iters, scale=kgstats.PR_SCALE, damping=85):
     edges = sorted(set(pairs))
     nodes = sorted({x for e in edges for x in e})
     out_deg = {}
     for s, _ in edges:
         out_deg[s] = out_deg.get(s, 0) + 1
     rank = {n: scale for n in nodes}
+    base = scale * (100 - damping) // 100
     for _ in range(iters):
         mass = {n: 0 for n in nodes}
         for s, d in edges:
             mass[d] += rank[s] // out_deg[s]
-        rank = {n: scale * 15 // 100 + 85 * mass[n] // 100 for n in nodes}
+        rank = {n: base + damping * mass[n] // 100 for n in nodes}
     return rank
 
 
@@ -119,6 +120,15 @@ def test_pagerank_matches_hand_iteration(spark):
     assert got == _fp_pagerank_py(pairs, 4)
     # d has no in-edges: exactly the base term after iteration 1
     assert got["d"] == kgstats.PR_SCALE * 15 // 100
+    # the damping knob stays consistent with the teleport base
+    got50 = {
+        r["node"]: r["rank_fp"]
+        for r in kgstats.pagerank_fixed(
+            _edges(spark, pairs), iters=3, damping_num=50
+        ).collect()
+    }
+    assert got50 == _fp_pagerank_py(pairs, 3, damping=50)
+    assert got50["d"] == kgstats.PR_SCALE * 50 // 100
 
 
 def test_pagerank_exactly_deterministic_across_layouts(spark):
@@ -151,15 +161,9 @@ def test_orientation_flattens_power_law_hub(spark):
     out-degree collapses — a 50k-degree hub generates ZERO wedges because
     every one of its edges points INTO it (it is the degree-max endpoint).
     Without the orientation the hub alone would contribute ~1.2e9 wedges."""
-    n = 200_000
-    u1 = F.pmod(F.xxhash64("id", F.lit(17)), F.lit(1_000_000)) / 1_000_000.0
-    u2 = F.pmod(F.xxhash64("id", F.lit(23)), F.lit(1_000_000)) / 1_000_000.0
-    edges = spark.range(0, n, numPartitions=8).select(
-        F.concat(F.lit("N"), F.floor(F.pow(F.lit(50_000.0), u1)).cast("string"))
-        .alias("src"),
-        F.concat(F.lit("N"), F.floor(F.pow(F.lit(50_000.0), u2)).cast("string"))
-        .alias("dst"),
-    )
+    from jamie_spark import fixtures
+
+    edges = fixtures.zipf_edges_df(spark, 200_000, 50_000, num_partitions=8)
     max_deg = (
         kgstats.degrees(edges)
         .agg(F.max(F.col("out_deg") + F.col("in_deg")))
