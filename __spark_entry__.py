@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jamie_spark import canon, eval as jeval, fixtures, graph, pipeline, sim, textstats
+from jamie_spark import search as search_mod
 from jamie_spark.concepts import MOD_DICT
 from jamie_spark.textstats import LANG_MARKERS, LANG_PRIORITY, STOPWORDS
 
@@ -694,6 +695,43 @@ def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.to_ntriples(t)
 
 
+#: BM25 query terms — single source for the Spark entry and the oracle
+_BM25_TERMS = ("spark", "stream", "sort")
+
+
+def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 (search.search_topk): fixed-point per-term scores summed
+    as int64, so the ranking is engine-exact."""
+    from jamie_spark import search
+
+    return search.search_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
+
+
+def _sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash 10% sample (textstats.sample_hash): membership
+    is a pure function of event_id — stable across runs/engines/resumes."""
+    return textstats.sample_hash(
+        _read(spark, sf_dir, "events"), ("event_id",), 0.1
+    ).select("event_id", "user_id", "event_type")
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event_type (Spark `percentile` ==
+    DuckDB `quantile_cont`, both type-7). At 100 TB you'd reach for
+    approx_percentile (t-digest) — the exact variant is the oracle-able
+    baseline and the semantics contract."""
+    ev = _read(spark, sf_dir, "events")
+    ps = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("ps")
+    )
+    return ps.select(
+        "event_type",
+        F.round(F.col("ps")[0], 4).alias("p50"),
+        F.round(F.col("ps")[1], 4).alias("p90"),
+        F.round(F.col("ps")[2], 4).alias("p99"),
+    )
+
+
 def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union + last-non-null window, single shuffle, no
     theta-join): every click gets the latest preceding purchase value per
@@ -788,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": _sessionization,
         "asof_join": _asof_join,
         "range_count_1h": _range_count,
+        "search_bm25": _search_bm25,
+        "sample_events": _sample_events,
+        "percentiles": _percentiles,
         "q3_shipping_topk": _q3_shipping_topk,
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
@@ -1760,6 +1801,48 @@ r AS (SELECT user_id, ts, MAX(value) AS value
 SELECT l.user_id, l.event_id, l.ts, ROUND(r.value, 4) AS purchase_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "search_bm25": f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM words
+    WHERE w IN ({", ".join(_sql_str(t) for t in _BM25_TERMS)})
+    GROUP BY doc_id, w
+),
+df_t AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+fp AS (
+    SELECT tf.doc_id,
+           CAST(ROUND(
+               ln(1.0 + (s.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               * {search_mod.SCORE_FP}) AS BIGINT) AS fp
+    FROM tf JOIN df_t USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+    SELECT doc_id, ROUND(SUM(fp) / {search_mod.SCORE_FP}, 4) AS score
+    FROM fp GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50
+""",
+        "sample_events": """
+SELECT event_id, user_id, event_type FROM events
+WHERE ('0x' || substr(md5('s0:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      % 1000000 < 100000
+""",
+        "percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

@@ -125,6 +125,9 @@ def main() -> None:
         "sessionization",
         "asof_join",
         "range_count_1h",
+        "search_bm25",
+        "sample_events",
+        "percentiles",
         "q3_shipping_topk",
         "q5_regional_revenue",
         "r2_pair_counts",

@@ -1,0 +1,99 @@
+"""BM25 keyword search over the documents table.
+
+The retrieval operator a webtext corpus user reaches for first: score every
+document against a small bag of query terms with BM25 (Robertson/Sparck
+Jones idf in the Lucene `ln(1 + (N - df + .5)/(df + .5))` form, k1/b term
+saturation + length normalization).
+
+Scale shape: one explode + two hash aggregations over the corpus (term
+frequencies and document lengths), a BROADCAST of the per-term document
+frequencies (|query| rows) and of the 1-row corpus stats — the corpus-sized
+stream is never shuffled by anything wider than doc_id. Catalyst prunes the
+scan to (doc_id, text).
+
+Determinism for the oracle: per-term scores are fixed-pointed to integer
+1e-6 units BEFORE the per-document sum, so the aggregation is exact int64
+arithmetic — float summation order can never flip a value-hash. (The ln/
+division inputs are IEEE-identical in both engines; a 1-ulp libm divergence
+would have to land within 5e-13 of a rounding boundary to matter.)
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Sequence
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+#: fixed-point units per score unit — single source for engine and oracle
+SCORE_FP = 1_000_000
+
+
+def bm25_scores(
+    docs: "DataFrame",
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """(doc_id, score) for every document matching >= 1 query term.
+
+    score(d) = sum over matched terms t of
+        ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.where(F.col("w").isin(list(terms)))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    term_fp = F.round(idf * sat * SCORE_FP).cast("long")
+    return (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("fp") / SCORE_FP, 4).alias("score"))
+    )
+
+
+def search_topk(
+    docs: "DataFrame", terms: Sequence[str], k: int = 10, **kw
+) -> "DataFrame":
+    """Deterministic top-k: (rank, doc_id, score), ties broken by doc_id.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    per-partition top-k merged on the driver — NOT a global sort; the
+    row_number window then runs over only the k surviving rows. (A naive
+    global `row_number().over(Window.orderBy(...))` would funnel the whole
+    scored corpus through one task.)
+    """
+    from pyspark.sql import Window
+
+    topk = (
+        bm25_scores(docs, terms, **kw)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )

@@ -448,6 +448,32 @@ def simhash(docs: "DataFrame") -> "DataFrame":
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def sample_hash(
+    df: "DataFrame",
+    id_cols: tuple[str, ...],
+    fraction: float,
+    salt: str = "s0",
+) -> "DataFrame":
+    """Deterministic hash sampling: keep a row iff
+    ``md5(salt:id_cols...) mod 1e6 < fraction * 1e6``.
+
+    The sampling primitive a reproducible training pipeline needs instead of
+    ``df.sample()`` (whose output changes with partitioning and retries):
+    membership is a pure function of the row's identity, so the sample is
+    stable across runs, engines, resumes, and cluster sizes — and applying
+    it within groups gives stratified sampling for free (same rule, same
+    rate, per stratum). md5 (not xxhash64) because md5 is the hash both
+    Spark and DuckDB share: the oracle applies the identical rule.
+    Filter-only: no shuffle, pushes below anything that follows.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), *id_cols)), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return df.where(h % 1_000_000 < int(fraction * 1_000_000))
+
+
 def common_passages(
     docs: "DataFrame", k: int = 8, stride: int = 4, min_docs: int = 5
 ) -> "DataFrame":

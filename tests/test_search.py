@@ -1,0 +1,69 @@
+"""BM25 search + deterministic hash sampling semantics."""
+
+from pyspark.sql import functions as F
+
+from jamie_spark import search, textstats
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bm25_ranking_semantics(spark):
+    docs = _docs(spark, [
+        "spark spark spark filler filler filler",   # high tf
+        "spark filler filler filler filler filler", # low tf
+        "filler filler filler filler filler filler",# no match -> absent
+        "spark",                                    # short doc: length norm boost
+    ])
+    rows = {r["doc_id"]: r["score"] for r in
+            search.bm25_scores(docs, ("spark",)).collect()}
+    assert set(rows) == {0, 1, 3}          # non-matching doc excluded
+    assert rows[0] > rows[1]               # tf saturation still monotone
+    assert rows[3] > rows[1]               # shorter doc outranks at equal tf
+    assert all(s > 0 for s in rows.values())
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # 'rare' appears in 1 of 10 docs, 'common' in all 10 -> idf dominates
+    texts = [f"common w{i}" for i in range(9)] + ["common rare"]
+    docs = _docs(spark, texts)
+    scores = {r["doc_id"]: r["score"] for r in
+              search.bm25_scores(docs, ("common", "rare")).collect()}
+    assert scores[9] > max(scores[i] for i in range(9))
+
+
+def test_search_topk_deterministic_ties(spark):
+    docs = _docs(spark, ["x y"] * 5 + ["z"])
+    top = search.search_topk(docs, ("x",), k=3).collect()
+    assert [r["doc_id"] for r in top] == [0, 1, 2]  # ties -> doc_id order
+    assert [r["rank"] for r in top] == [1, 2, 3]
+    assert len({r["score"] for r in top}) == 1
+
+
+def test_sample_hash_fraction_and_determinism(spark):
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("grp"),
+    )
+    s1 = textstats.sample_hash(df, ("event_id",), 0.1)
+    n = s1.count()
+    assert 0.08 * 20_000 < n < 0.12 * 20_000
+    # identical membership on re-run and under different partitioning
+    a = {r["event_id"] for r in s1.collect()}
+    b = {r["event_id"] for r in
+         textstats.sample_hash(df.repartition(13), ("event_id",), 0.1).collect()}
+    assert a == b
+    # per-stratum rate stays near the global fraction (stratified for free)
+    per = (
+        textstats.sample_hash(df, ("event_id",), 0.1)
+        .groupBy("grp").count().collect()
+    )
+    for r in per:
+        assert 0.05 < r["count"] / (20_000 / 7) < 0.16
+    # different salt -> different (but still deterministic) membership
+    c = {r["event_id"] for r in
+         textstats.sample_hash(df, ("event_id",), 0.1, salt="s1").collect()}
+    assert c != a and 0.08 * 20_000 < len(c) < 0.12 * 20_000
