@@ -707,6 +707,23 @@ def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.search_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
 
 
+def _search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query through the MATERIALIZED inverted index (term-bucketed
+    postings, partition-pruned read) — must reproduce the scan path exactly,
+    so it shares search_bm25's oracle. The index is built once per sf_dir
+    (hash-keyed tmp dir) and reused."""
+    import hashlib
+    import os
+
+    from jamie_spark import search
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/jamie_bm25_index_{key}"
+    if not os.path.exists(f"{path}/stats"):
+        search.build_index(_docs(spark, sf_dir), path)
+    return search.search_index(spark, path, _BM25_TERMS, k=50)
+
+
 def _sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-hash 10% sample (textstats.sample_hash): membership
     is a pure function of event_id — stable across runs/engines/resumes."""
@@ -827,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _asof_join,
         "range_count_1h": _range_count,
         "search_bm25": _search_bm25,
+        "search_bm25_indexed": _search_bm25_indexed,
         "sample_events": _sample_events,
         "percentiles": _percentiles,
         "q3_shipping_topk": _q3_shipping_topk,
@@ -1437,7 +1455,7 @@ SELECT doc_id, {pred} AS pred_lang FROM scores
 
 def oracle_sql() -> dict[str, str]:
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    return {
+    d = {
         "kg_mentions": f"""
 WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
 words AS (
@@ -2072,3 +2090,7 @@ SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score FROM (
 ) WHERE rn <= 5
 """,
     }
+    # the materialized-index path must reproduce the scan path exactly:
+    # one oracle, two Spark plans
+    d["search_bm25_indexed"] = d["search_bm25"]
+    return d

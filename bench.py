@@ -126,6 +126,7 @@ def main() -> None:
         "asof_join",
         "range_count_1h",
         "search_bm25",
+        "search_bm25_indexed",
         "sample_events",
         "percentiles",
         "q3_shipping_topk",

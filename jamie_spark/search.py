@@ -75,6 +75,98 @@ def bm25_scores(
     )
 
 
+#: term-hash partition count for the materialized index
+INDEX_BUCKETS = 64
+
+
+def build_index(docs: "DataFrame", path: str, n_buckets: int = INDEX_BUCKETS) -> None:
+    """Materialize the inverted index: postings (term, doc_id, tf) PARTITIONED
+    by ``bucket = pmod(xxhash64(term), n_buckets)``, plus per-document lengths
+    and the 1-row corpus stats.
+
+    The point of the layout: a query for |Q| terms reads ONLY the <= |Q|
+    bucket directories (Spark partition pruning on the bucket column), i.e.
+    ~|Q|/n_buckets of the index — per-query cost is independent of corpus
+    width. Document frequencies are NOT precomputed per term because they
+    fall out of the pruned postings read for free (COUNT per term).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def search_index(
+    spark,
+    path: str,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = INDEX_BUCKETS,
+) -> "DataFrame":
+    """Query the materialized index: identical results to :func:`search_topk`
+    (asserted by the shared oracle) but the postings scan touches only the
+    query terms' hash buckets — the bucket IN-filter is a partition filter,
+    so pruning happens at file-listing time, before any I/O."""
+    from pyspark.sql import Window
+
+    bucket_of = {t: None for t in terms}
+    # same hash the writer used, evaluated cheaply on a literal frame
+    for row in (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"))
+        .collect()
+    ):
+        bucket_of[row["term"]] = row["b"]
+    postings = (
+        spark.read.option("basePath", f"{path}/postings")
+        .parquet(f"{path}/postings")
+        .where(F.col("bucket").isin(list(set(bucket_of.values()))))
+        .where(F.col("term").isin(list(terms)))
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    stats = spark.read.parquet(f"{path}/stats")
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    term_fp = F.round(idf * sat * SCORE_FP).cast("long")
+    topk = (
+        postings.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("fp") / SCORE_FP, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
 def search_topk(
     docs: "DataFrame", terms: Sequence[str], k: int = 10, **kw
 ) -> "DataFrame":

@@ -67,3 +67,66 @@ def test_sample_hash_fraction_and_determinism(spark):
     c = {r["event_id"] for r in
          textstats.sample_hash(df, ("event_id",), 0.1, salt="s1").collect()}
     assert c != a and 0.08 * 20_000 < len(c) < 0.12 * 20_000
+
+
+def test_index_path_equals_scan_path(spark, tmp_path):
+    """The materialized inverted index reproduces search_topk exactly, and
+    the postings read carries a partition filter on the term-hash bucket
+    (pruning at file-listing time — per-query I/O independent of the number
+    of index buckets actually on disk)."""
+    import random
+
+    rng = random.Random(2)
+    vocab = [f"w{i}" for i in range(50)] + ["spark", "stream"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(30)) for _ in range(300)
+    ]
+    docs = _docs(spark, texts)
+    idx = str(tmp_path / "idx")
+    search.build_index(docs, idx)
+
+    direct = search.search_topk(docs, ("spark", "stream"), k=20)
+    via_index = search.search_index(spark, idx, ("spark", "stream"), k=20)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_index.collect())
+    )
+
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the bucket IN-filter must reach the partition level, not the row level
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert pf, plan[:2000]
+
+
+def test_index_layout_is_bucket_partitioned(spark, tmp_path):
+    """The on-disk layout is bucket=N subdirectories (hive partitioning), so
+    the PartitionFilters asserted in the previous test translate to whole
+    directories skipped at file-listing time; a single term's postings live
+    in exactly one bucket directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, ["spark alpha beta", "gamma delta spark"] * 20)
+    idx = str(tmp_path / "idx2")
+    search.build_index(docs, idx)
+    bucket_dirs = sorted(
+        d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")
+    )
+    assert len(bucket_dirs) > 2  # enough distinct terms to make pruning real
+    spark_bucket = (
+        spark.createDataFrame([("spark",)], "term string")
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(search.INDEX_BUCKETS)).alias("b")
+        )
+        .first()["b"]
+    )
+    one_bucket = spark.read.parquet(f"{idx}/postings/bucket={spark_bucket}")
+    terms_there = {r["term"] for r in one_bucket.select("term").distinct().collect()}
+    assert "spark" in terms_there
+    # and the term appears in NO other bucket directory
+    for d in bucket_dirs:
+        if d != f"bucket={spark_bucket}":
+            others = spark.read.parquet(f"{idx}/postings/{d}")
+            assert others.where(F.col("term") == "spark").count() == 0
