@@ -599,6 +599,14 @@ def _ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=10, k=5)
 
 
+def _int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized cosine top-k (sim.cosine_topk_int8): int8 vectors, 4x fewer
+    broadcast bytes, int64-exact dots — recall gated vs the exact path."""
+    return sim.cosine_topk_int8(
+        _read(spark, sf_dir, "embeddings"), n_queries=10, k=5
+    )
+
+
 def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fixture pipeline (rows-only check; non-SQL-expressible UDF stage)."""
     pages = fixtures.pages_df(spark, 150, seed=42)
@@ -865,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages": _dedup_passages,
         "doc_fingerprint": _fingerprints,
         "sim_cosine_topk": _cosine_topk,
+        "sim_int8_topk": _int8_topk,
         "sim_lsh_topk": _lsh_topk,
         "sim_ivf_topk": _ivf_topk,
     }
@@ -2061,6 +2070,45 @@ scored AS (
     FROM cand
     JOIN base q ON q.vec_id = query_id
     JOIN base c ON c.vec_id = neighbor_id
+)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 5
+""",
+        "sim_int8_topk": """
+WITH amax AS (
+    SELECT vec_id,
+           list_max(list_transform(range(1, 65),
+               i -> abs(CAST(embedding[i] AS DOUBLE)))) AS m,
+           embedding AS e
+    FROM embeddings
+),
+q8 AS (
+    SELECT vec_id,
+           CASE WHEN m IS NULL OR m = 0
+                THEN list_transform(range(1, 65), i -> 0)
+                ELSE list_transform(range(1, 65),
+                    i -> CAST(round(CAST(e[i] AS DOUBLE) * 127.0 / m)
+                              AS INTEGER))
+           END AS qv
+    FROM amax
+),
+base AS (
+    SELECT vec_id, qv,
+           list_sum(list_transform(qv, v -> CAST(v AS BIGINT) * v)) AS sq
+    FROM q8
+),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.qv[i] AS BIGINT) * c.qv[i]))
+             / (sqrt(q.sq) * sqrt(c.sq)), 4) AS score
+    FROM base q, base c
+    WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+      AND q.sq > 0 AND c.sq > 0
 )
 SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score FROM (
     SELECT *, row_number() OVER (

@@ -158,6 +158,7 @@ def main() -> None:
         "dedup_embedding_cosine",
         "doc_fingerprint",
         "sim_cosine_topk",
+        "sim_int8_topk",
         "sim_lsh_topk",
         "sim_ivf_topk",
     ]

@@ -174,3 +174,22 @@ def test_lsh_pair_recall_and_precision(spark):
         assert exact[k] == v, f"score mismatch for {k}"
     recall = len(lsh) / len(exact)
     assert recall >= 0.9, f"LSH pair recall {recall:.2f} below floor"
+
+
+def test_int8_topk_recall_floor(spark):
+    """Quantized cosine top-k must keep >= 0.9 recall@5 vs the exact path
+    (int8 symmetric quantization typically loses < 2%)."""
+    from jamie_spark import sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = sim.cosine_topk(emb, n_queries=10, k=5).collect()
+    quant = sim.cosine_topk_int8(emb, n_queries=10, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = tot = 0
+    for r in quant:
+        tot += 1
+        hit += r["neighbor_id"] in exact_sets[r["query_id"]]
+    assert tot == 50
+    assert hit / tot >= 0.9, hit / tot
