@@ -817,6 +817,17 @@ def _dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_passages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined passage sampling (md5(passage) % stride == 0):
+    offset-exact repeated-block detection at the strided variant's volume."""
+    return textstats.common_passages_cdc(
+        _docs(spark, sf_dir),
+        k=_PASSAGE_K,
+        stride=_PASSAGE_STRIDE,
+        min_docs=_PASSAGE_MIN_DOCS,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction family
@@ -871,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _simhash,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_passages": _dedup_passages,
+        "dedup_passages_cdc": _dedup_passages_cdc,
         "doc_fingerprint": _fingerprints,
         "sim_cosine_topk": _cosine_topk,
         "sim_int8_topk": _int8_topk,
@@ -1908,6 +1920,23 @@ win AS (
 )
 SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM win GROUP BY passage HAVING COUNT(*) >= {_PASSAGE_MIN_DOCS}
+""",
+        "dedup_passages_cdc": f"""
+WITH w AS (SELECT doc_id, split(text, ' ') AS ws FROM documents),
+win AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(ws, i, i + {_PASSAGE_K - 1}), ' ')
+               AS passage
+    FROM w, unnest(range(1, len(ws) - {_PASSAGE_K - 2})) AS t(i)
+    WHERE len(ws) >= {_PASSAGE_K}
+),
+anchored AS (
+    SELECT doc_id, passage FROM win
+    WHERE ('0x' || substr(md5(passage), 1, 8))::BIGINT
+          % {_PASSAGE_STRIDE} = 0
+)
+SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM anchored GROUP BY passage HAVING COUNT(*) >= {_PASSAGE_MIN_DOCS}
 """,
         "kg_pipeline_triples": _kg_pipeline_oracle_sql(),
         "kg_pipeline_triples_doc": _kg_pipeline_oracle_sql(120, doc_mode=True),

@@ -145,6 +145,7 @@ def main() -> None:
         "kg_pagerank",
         "kg_communities",
         "dedup_passages",
+        "dedup_passages_cdc",
         "token_counts",
         "text_quality",
         "lang_id",

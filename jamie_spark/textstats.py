@@ -521,6 +521,53 @@ def common_passages(
     )
 
 
+def common_passages_cdc(
+    docs: "DataFrame", k: int = 8, stride: int = 4, min_docs: int = 5
+) -> "DataFrame":
+    """(passage, n_docs) — content-defined variant of
+    :func:`common_passages`: instead of emitting windows at positions
+    strided from the document start, EVERY position's window is generated
+    and kept iff ``md5(passage) mod stride == 0``. Same expected volume
+    (1/stride of all windows, map-side), but the sampling decision is a pure
+    function of the window's CONTENT — a block shared by two documents at
+    ANY byte offsets selects the exact same windows in both, so repeated
+    blocks are offset-exact (the strided variant only catches offsets that
+    agree modulo stride; this is the content-defined-chunking idea from CDC
+    dedup applied to token windows). Cost vs strided: all windows are
+    materialized inside the projection before the filter — k string concats
+    per token instead of per stride tokens; the explode/shuffle volume is
+    the same.
+    """
+    parts = ", ".join(f"ws[i - 1 + {j}]" for j in range(k))
+    win = (
+        _words(docs)
+        .where(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.expr(
+                            f"transform(sequence(1, size(ws) - {k - 1}),"
+                            f" i -> concat_ws(' ', {parts}))"
+                        ),
+                        lambda p: F.conv(
+                            F.substring(F.md5(p), 1, 8), 16, 10
+                        ).cast("long")
+                        % stride
+                        == 0,
+                    )
+                )
+            ).alias("passage"),
+        )
+    )
+    return (
+        win.groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def fingerprints(docs: "DataFrame", n: int = 3, window: int = 4) -> "DataFrame":
     """(doc_id, fp) — winnowing document fingerprints: distinct minima of
     md5(shingle) over each sliding window of ``window`` consecutive shingles."""

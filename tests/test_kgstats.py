@@ -259,6 +259,28 @@ def test_common_passages_short_docs_and_within_doc_repeat(spark):
     assert got == {"x y z w": 2}
 
 
+def test_common_passages_cdc_is_offset_exact(spark):
+    """The content-defined variant catches a shared block regardless of its
+    offset modulo stride — the documented failure mode of the strided
+    variant. Footer preceded by 1 token in doc A, 2 in doc B (offsets
+    disagree mod 4): strided misses it, CDC finds identical windows."""
+    footer = " ".join(f"f{i}" for i in range(40))
+    texts = [f"x {footer}", f"x y {footer}", f"x y z {footer}"]
+    strided = textstats.common_passages(
+        _docs_df(spark, texts), k=8, stride=4, min_docs=3
+    ).collect()
+    cdc = textstats.common_passages_cdc(
+        _docs_df(spark, texts), k=8, stride=4, min_docs=3
+    ).collect()
+    assert strided == []  # phase classes disagree -> strided finds nothing
+    assert len(cdc) > 0   # content anchors -> same windows in all three docs
+    assert all(r["n_docs"] == 3 for r in cdc)
+    assert all(all(w.startswith("f") for w in r["passage"].split()) for r in cdc)
+    # volume stays ~1/stride of all windows: 33 windows fully inside the
+    # footer, expect ~8 anchored, certainly not all
+    assert len(cdc) < 20
+
+
 def test_common_passages_stride_alignment(spark):
     # stride 2 over 6 words, k=3 -> windows at pos 1 and 3 only
     out = textstats.common_passages(
