@@ -570,8 +570,19 @@ def cosine_topk_int8(
     embeddings: "DataFrame", n_queries: int = 10, k: int = 5
 ) -> "DataFrame":
     """(query_id, rank, neighbor_id, score) — brute-force cosine top-k over
-    int8-quantized vectors: same contract as :func:`cosine_topk`, 4x fewer
-    broadcast/shuffle bytes, int64-exact dot products."""
+    int8-quantized vectors: same contract as :func:`cosine_topk`,
+    int64-exact dot products.
+
+    Role: the recall/correctness yardstick for the quantized REPRESENTATION
+    (the tests gate recall\@5 >= 0.9 against the exact path). The 4x byte
+    win of int8 pays off where the representation crosses an exchange or
+    lands in storage — candidate-verify joins, ANN shortlists, persisted
+    vector tables — NOT in this broadcast top-k, whose candidate side
+    streams straight from the scan (a materialization barrier here was
+    measured as pure added cost: localCheckpoint +1.3s, repartition +0.4s
+    at sf0.1; both rejected). Locally the int fold scores ~2x slower than
+    the double fold — the trade is bytes, not FLOPs.
+    """
     base = quantize_int8(embeddings).where(F.col("sq") > 0)
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
