@@ -133,14 +133,20 @@ def search_index(
         .collect()
     ):
         bucket_of[row["term"]] = row["b"]
+    # explicit schemas: an EMPTY corpus legitimately writes data-less
+    # directories (partitionBy emits only _SUCCESS), and schema inference
+    # would fail on them — the index must round-trip the degenerate case
     postings = (
-        spark.read.option("basePath", f"{path}/postings")
+        spark.read.schema("doc_id long, term string, tf long, bucket int")
+        .option("basePath", f"{path}/postings")
         .parquet(f"{path}/postings")
         .where(F.col("bucket").isin(list(set(bucket_of.values()))))
         .where(F.col("term").isin(list(terms)))
     )
-    dl = spark.read.parquet(f"{path}/doclen")
-    stats = spark.read.parquet(f"{path}/stats")
+    dl = spark.read.schema("doc_id long, dl long").parquet(f"{path}/doclen")
+    stats = spark.read.schema("n_docs long, avgdl double").parquet(
+        f"{path}/stats"
+    )
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
