@@ -817,6 +817,26 @@ def _dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (textstats.dedup_incremental): odd doc_ids arrive
+    as the new batch, even doc_ids are the persisted history (signature
+    store built once per sf_dir, hash-keyed tmp dir). Estimated Jaccard =
+    MinHash agreement fraction — the store holds signatures, never text."""
+    import hashlib
+    import os
+
+    docs = _docs(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/jamie_sigstore_{key}"
+    if not os.path.exists(path):
+        textstats.write_signature_store(
+            docs.where(F.col("doc_id") % 2 == 0), path
+        )
+    return textstats.dedup_incremental(
+        docs.where(F.col("doc_id") % 2 == 1), path, min_agree=0.25
+    )
+
+
 def _dedup_passages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined passage sampling (md5(passage) % stride == 0):
     offset-exact repeated-block detection at the strided variant's volume."""
@@ -883,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_passages": _dedup_passages,
         "dedup_passages_cdc": _dedup_passages_cdc,
+        "dedup_incremental": _dedup_incremental,
         "doc_fingerprint": _fingerprints,
         "sim_cosine_topk": _cosine_topk,
         "sim_int8_topk": _int8_topk,
@@ -1389,6 +1410,59 @@ cand AS (
         WHERE a.bsz > {cap}
     )
 )"""
+
+
+def _incremental_sql() -> str:
+    """textstats.dedup_incremental twin: even doc_ids = the signature store,
+    odd = the new batch; store-side band buckets capped at MAX_BAND_BUCKET
+    (min doc_ids), verify = MinHash agreement fraction."""
+    K = textstats.N_MINHASHES
+    rows = K // textstats.N_MINHASH_BANDS
+    mh_cols = ", ".join(
+        f"MIN(md5('{k}:' || shingle)) AS mh{k}" for k in range(K)
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+            + f" AS band_key FROM {src}"
+            for b in range(textstats.N_MINHASH_BANDS)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN n.mh{k} = s.mh{k} THEN 1 ELSE 0 END" for k in range(K)
+    )
+    cap = textstats.MAX_BAND_BUCKET
+    return f"""
+WITH {_SHINGLES_CTE.strip()},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sig AS (SELECT doc_id, {mh_cols} FROM dsh GROUP BY doc_id),
+s_sig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+n_sig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+s_bands_raw AS ({band_rows('s_sig')}),
+s_bands AS (
+    SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+        FROM s_bands_raw
+    ) WHERE rn <= {cap}
+),
+n_bands AS ({band_rows('n_sig')}),
+cand AS (
+    SELECT DISTINCT nb.doc_id AS new_doc_id, sb.doc_id AS stored_doc_id
+    FROM n_bands nb JOIN s_bands sb
+      ON nb.band_id = sb.band_id AND nb.band_key = sb.band_key
+    WHERE nb.doc_id <> sb.doc_id
+)
+SELECT c.new_doc_id, c.stored_doc_id,
+       ROUND(({agree}) / {K}.0, 4) AS est_jaccard
+FROM cand c
+JOIN n_sig n ON n.doc_id = c.new_doc_id
+JOIN s_sig s ON s.doc_id = c.stored_doc_id
+WHERE ({agree}) / {K}.0 >= 0.25
+"""
 
 
 def _minhash_sql() -> str:
@@ -2044,6 +2118,7 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
 """,
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_incremental": _incremental_sql(),
         "dedup_near_pairs": _near_dup_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _simhash_sql(),

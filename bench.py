@@ -146,6 +146,7 @@ def main() -> None:
         "kg_communities",
         "dedup_passages",
         "dedup_passages_cdc",
+        "dedup_incremental",
         "token_counts",
         "text_quality",
         "lang_id",

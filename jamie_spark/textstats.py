@@ -256,14 +256,19 @@ N_MINHASHES = 8
 N_MINHASH_BANDS = 4  # 2 rows per band
 
 
-def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
-    """(doc_id, band_id, band_key) — md5-MinHash banded signatures."""
+def _minhash_sig_table(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, mh0..mh{N_MINHASHES-1}) — the full md5-MinHash signature row
+    per document: the unit the incremental signature store persists."""
     sh = shingles(docs, n).select("doc_id", "shingle").distinct()
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
         for k in range(N_MINHASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _bands_of(sig: "DataFrame") -> "DataFrame":
+    """signature rows -> exploded (doc_id, band_id, band_key)."""
     rows_per_band = N_MINHASHES // N_MINHASH_BANDS
     bands = F.array(
         *[
@@ -280,6 +285,95 @@ def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
     return sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"),
         F.col("band.band_key").alias("band_key"),
+    )
+
+
+def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, band_id, band_key) — md5-MinHash banded signatures."""
+    return _bands_of(_minhash_sig_table(docs, n))
+
+
+def write_signature_store(
+    docs: "DataFrame", path: str, n: int = 3, mode: str = "overwrite"
+) -> None:
+    """Persist the MinHash signature table — the STATE of incremental dedup.
+
+    One row per document (doc_id + N_MINHASHES md5 minima): history is
+    shingled exactly once, at ingest; later batches dedup against the store
+    without ever touching historical text. ``mode="append"`` admits each new
+    batch after it has been deduped (write_signature_store(new_batch, path,
+    mode="append") is the commit step of the ingest loop).
+    """
+    _minhash_sig_table(docs, n).write.mode(mode).parquet(path)
+
+
+def dedup_incremental(
+    new_docs: "DataFrame",
+    store_path: str,
+    n: int = 3,
+    min_agree: float = 0.25,
+    max_bucket: int | None = None,
+) -> "DataFrame":
+    """(new_doc_id, stored_doc_id, est_jaccard) — near-dups of a NEW batch
+    against the persisted signature store: the production ingest shape
+    (incoming crawl vs all history, cost O(batch + matched store rows), the
+    historical corpus is never re-read).
+
+    Candidates: band equi-join of the batch's bands against bands derived
+    from the store, with the store side of each (band_id, band_key) bucket
+    capped at ``max_bucket`` rows (min doc_ids kept — the boilerplate
+    mega-bucket guard, same recall trade as MAX_BAND_BUCKET, stated there).
+    Verify: MinHash agreement fraction — the ESTIMATED Jaccard
+    (agreeing minima / N_MINHASHES) — because the store holds signatures,
+    not shingle sets; with N_MINHASHES=12 the estimate is coarse
+    (granularity 1/12), which is the accepted price of never re-shingling
+    history. Exact verification of survivors, when needed, re-reads only
+    the matched docs' texts.
+    """
+    if max_bucket is None:
+        max_bucket = MAX_BAND_BUCKET
+    spark = new_docs.sparkSession
+    store_sig = spark.read.parquet(store_path)
+    new_sig = _minhash_sig_table(new_docs, n)
+    w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    store_bands = (
+        _bands_of(store_sig)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_bucket)
+        .select(
+            F.col("doc_id").alias("stored_doc_id"), "band_id", "band_key"
+        )
+    )
+    new_bands = _bands_of(new_sig).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
+    )
+    cand = (
+        new_bands.join(store_bands, ["band_id", "band_key"])
+        .where(F.col("new_doc_id") != F.col("stored_doc_id"))
+        .select("new_doc_id", "stored_doc_id")
+        .distinct()
+    )
+    n_sig = new_sig.select(
+        F.col("doc_id").alias("new_doc_id"),
+        *[F.col(f"mh{k}").alias(f"n{k}") for k in range(N_MINHASHES)],
+    )
+    s_sig = store_sig.select(
+        F.col("doc_id").alias("stored_doc_id"),
+        *[F.col(f"mh{k}").alias(f"s{k}") for k in range(N_MINHASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"n{k}") == F.col(f"s{k}"), 1).otherwise(0)
+        for k in range(N_MINHASHES)
+    )
+    return (
+        cand.join(n_sig, "new_doc_id")
+        .join(s_sig, "stored_doc_id")
+        .select(
+            "new_doc_id",
+            "stored_doc_id",
+            F.round(agree / N_MINHASHES, 4).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= min_agree)
     )
 
 

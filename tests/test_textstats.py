@@ -126,3 +126,39 @@ def test_band_bucket_cap_bounds_candidates_power_law(spark):
         assert capped_s < 4 * small_n
     finally:
         small.unpersist()
+
+
+def test_incremental_dedup_against_store(spark, tmp_path):
+    """Production ingest shape: batch B dedups against batch A's persisted
+    signatures without re-reading A's text; appending B's signatures lets a
+    later batch C find B's docs. Exact copies estimate at 1.0."""
+    from pyspark.sql import functions as F
+
+    a_texts = [(i, f"unique alpha document number {i} " + " ".join(
+        f"w{i}x{j}" for j in range(12))) for i in range(10)]
+    docs_a = spark.createDataFrame(a_texts, "doc_id long, text string")
+    store = str(tmp_path / "sigstore")
+    textstats.write_signature_store(docs_a, store)
+
+    b_texts = [
+        (100, a_texts[3][1]),                 # exact copy of A doc 3
+        (101, a_texts[5][1] + " extra tail"), # near copy of A doc 5
+        (102, "completely different content " + " ".join(
+            f"z{j}" for j in range(14))),
+    ]
+    docs_b = spark.createDataFrame(b_texts, "doc_id long, text string")
+    out = textstats.dedup_incremental(docs_b, store, min_agree=0.2)
+    rows = {(r["new_doc_id"], r["stored_doc_id"]): r["est_jaccard"]
+            for r in out.collect()}
+    assert rows[(100, 3)] == 1.0
+    assert any(n == 101 and s == 5 for n, s in rows)
+    assert not any(n == 102 for n, s in rows)
+
+    # commit B, then C (copy of a B doc) matches against the grown store
+    textstats.write_signature_store(docs_b, store, mode="append")
+    docs_c = spark.createDataFrame(
+        [(200, b_texts[2][1])], "doc_id long, text string"
+    )
+    out_c = {(r["new_doc_id"], r["stored_doc_id"]): r["est_jaccard"]
+             for r in textstats.dedup_incremental(docs_c, store).collect()}
+    assert out_c[(200, 102)] == 1.0
