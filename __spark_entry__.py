@@ -707,29 +707,44 @@ def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "stream", "sort")
 
 
+def _content_key(sf_dir: str, name: str) -> str:
+    """Cache key for derived /tmp artifacts (BM25 index, signature store):
+    hashes the SOURCE parquet's file names + sizes + mtimes, not just the
+    path — regenerated testdata at the same sf_dir invalidates the cache
+    instead of silently serving stale derived state."""
+    import hashlib
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    parts = [p]
+    if os.path.isdir(p):
+        for f in sorted(os.listdir(p)):
+            st = os.stat(os.path.join(p, f))
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.exists(p):
+        st = os.stat(p)
+        parts.append(f"{st.st_size}:{int(st.st_mtime)}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-50 (search.search_topk): fixed-point per-term scores summed
     as int64, so the ranking is engine-exact."""
-    from jamie_spark import search
-
-    return search.search_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
+    return search_mod.search_topk(_docs(spark, sf_dir), _BM25_TERMS, k=50)
 
 
 def _search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query through the MATERIALIZED inverted index (term-bucketed
     postings, partition-pruned read) — must reproduce the scan path exactly,
-    so it shares search_bm25's oracle. The index is built once per sf_dir
-    (hash-keyed tmp dir) and reused."""
-    import hashlib
+    so it shares search_bm25's oracle. The index is cached per CONTENT of
+    the source parquet (not per path — see _content_key) and the guard is
+    the writer's _SUCCESS marker, so a killed half-built index rebuilds."""
     import os
 
-    from jamie_spark import search
-
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/jamie_bm25_index_{key}"
-    if not os.path.exists(f"{path}/stats"):
-        search.build_index(_docs(spark, sf_dir), path)
-    return search.search_index(spark, path, _BM25_TERMS, k=50)
+    path = f"/tmp/jamie_bm25_index_{_content_key(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/stats/_SUCCESS"):
+        search_mod.build_index(_docs(spark, sf_dir), path)
+    return search_mod.search_index(spark, path, _BM25_TERMS, k=50)
 
 
 def _sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,15 +835,14 @@ def _dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup (textstats.dedup_incremental): odd doc_ids arrive
     as the new batch, even doc_ids are the persisted history (signature
-    store built once per sf_dir, hash-keyed tmp dir). Estimated Jaccard =
-    MinHash agreement fraction — the store holds signatures, never text."""
-    import hashlib
+    store cached per source-parquet CONTENT, completion-guarded by the
+    writer's _SUCCESS marker). Estimated Jaccard = MinHash agreement
+    fraction — the store holds signatures, never text."""
     import os
 
     docs = _docs(spark, sf_dir)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/jamie_sigstore_{key}"
-    if not os.path.exists(path):
+    path = f"/tmp/jamie_sigstore_{_content_key(sf_dir, 'documents')}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
         textstats.write_signature_store(
             docs.where(F.col("doc_id") % 2 == 0), path
         )
@@ -1947,8 +1961,9 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50
 """,
         "sample_events": """
 SELECT event_id, user_id, event_type FROM events
-WHERE ('0x' || substr(md5('s0:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-      % 1000000 < 100000
+WHERE ('0x' || substr(md5('s0' ||
+          md5(coalesce(CAST(event_id AS VARCHAR), chr(0) || 'null'))),
+       1, 8))::BIGINT % 1000000 < 100000
 """,
         "percentiles": """
 SELECT event_type,

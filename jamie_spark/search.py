@@ -105,9 +105,13 @@ def build_index(docs: "DataFrame", path: str, n_buckets: int = INDEX_BUCKETS) ->
     )
     dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     dl.write.mode("overwrite").parquet(f"{path}/doclen")
+    # n_buckets is part of the index's identity: queries MUST bucket terms
+    # with the writer's modulus, so it is persisted and validated at read
     dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    ).withColumn("n_buckets", F.lit(n_buckets)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
 
 
 def search_index(
@@ -117,14 +121,30 @@ def search_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> "DataFrame":
     """Query the materialized index: identical results to :func:`search_topk`
     (asserted by the shared oracle) but the postings scan touches only the
     query terms' hash buckets — the bucket IN-filter is a partition filter,
-    so pruning happens at file-listing time, before any I/O."""
+    so pruning happens at file-listing time, before any I/O.
+
+    ``n_buckets`` is read from the index's stats by default; passing a value
+    that disagrees with what the writer used raises instead of silently
+    pruning to the wrong buckets (a modulus mismatch would drop matching
+    postings with no error)."""
     from pyspark.sql import Window
 
+    stats = spark.read.schema("n_docs long, avgdl double, n_buckets int").parquet(
+        f"{path}/stats"
+    )
+    stored = [r["n_buckets"] for r in stats.select("n_buckets").collect()]
+    stored_buckets = stored[0] if stored and stored[0] is not None else INDEX_BUCKETS
+    if n_buckets is not None and n_buckets != stored_buckets:
+        raise ValueError(
+            f"index at {path} was built with n_buckets={stored_buckets}, "
+            f"query requested {n_buckets}"
+        )
+    n_buckets = stored_buckets
     bucket_of = {t: None for t in terms}
     # same hash the writer used, evaluated cheaply on a literal frame
     for row in (
@@ -144,9 +164,7 @@ def search_index(
         .where(F.col("term").isin(list(terms)))
     )
     dl = spark.read.schema("doc_id long, dl long").parquet(f"{path}/doclen")
-    stats = spark.read.schema("n_docs long, avgdl double").parquet(
-        f"{path}/stats"
-    )
+    stats = stats.select("n_docs", "avgdl")
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -325,8 +325,8 @@ def dedup_incremental(
     mega-bucket guard, same recall trade as MAX_BAND_BUCKET, stated there).
     Verify: MinHash agreement fraction — the ESTIMATED Jaccard
     (agreeing minima / N_MINHASHES) — because the store holds signatures,
-    not shingle sets; with N_MINHASHES=12 the estimate is coarse
-    (granularity 1/12), which is the accepted price of never re-shingling
+    not shingle sets; with N_MINHASHES=8 the estimate is coarse
+    (granularity 1/8), which is the accepted price of never re-shingling
     history. Exact verification of survivors, when needed, re-reads only
     the matched docs' texts.
     """
@@ -335,17 +335,24 @@ def dedup_incremental(
     spark = new_docs.sparkSession
     store_sig = spark.read.parquet(store_path)
     new_sig = _minhash_sig_table(new_docs, n)
+    new_bands = _bands_of(new_sig).select(
+        F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
+    )
+    # keep the per-batch cost O(batch + matched store rows): semi-join the
+    # store bands down to the batch's band keys BEFORE the bucket-cap
+    # window — otherwise every call windows the WHOLE history's bands.
+    # Per-bucket cap semantics are unchanged (the semi-join keeps matched
+    # buckets intact).
+    batch_keys = new_bands.select("band_id", "band_key").distinct()
     w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
     store_bands = (
         _bands_of(store_sig)
+        .join(batch_keys, ["band_id", "band_key"], "left_semi")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= max_bucket)
         .select(
             F.col("doc_id").alias("stored_doc_id"), "band_id", "band_key"
         )
-    )
-    new_bands = _bands_of(new_sig).select(
-        F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
     )
     cand = (
         new_bands.join(store_bands, ["band_id", "band_key"])
@@ -559,13 +566,20 @@ def sample_hash(
     rate, per stratum). md5 (not xxhash64) because md5 is the hash both
     Spark and DuckDB share: the oracle applies the identical rule.
     Filter-only: no shuffle, pushes below anything that follows.
+
+    Key construction: each id column is md5-hashed INDIVIDUALLY before the
+    concat (fixed-width digests — no separator-collision between
+    ('a','b:c') and ('a:b','c')), with NULL mapped to a sentinel digest so
+    a null id is a stable value, not a dropped row.
     """
+    col_digests = [
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        for c in id_cols
+    ]
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(salt), *id_cols)), 1, 8),
-        16,
-        10,
+        F.substring(F.md5(F.concat(F.lit(salt), *col_digests)), 1, 8), 16, 10
     ).cast("long")
-    return df.where(h % 1_000_000 < int(fraction * 1_000_000))
+    return df.where(h % 1_000_000 < round(fraction * 1_000_000))
 
 
 def common_passages(

@@ -130,3 +130,17 @@ def test_index_layout_is_bucket_partitioned(spark, tmp_path):
         if d != f"bucket={spark_bucket}":
             others = spark.read.parquet(f"{idx}/postings/{d}")
             assert others.where(F.col("term") == "spark").count() == 0
+
+
+def test_index_bucket_mismatch_raises(spark, tmp_path):
+    """A modulus mismatch between writer and reader must fail loudly (it
+    would otherwise silently prune matching postings away)."""
+    import pytest
+
+    docs = _docs(spark, ["spark stream sort"])
+    idx = str(tmp_path / "idx3")
+    search.build_index(docs, idx, n_buckets=32)
+    # default reader picks up the stored modulus
+    assert search.search_index(spark, idx, ("spark",), k=5).count() == 1
+    with pytest.raises(ValueError, match="n_buckets=32"):
+        search.search_index(spark, idx, ("spark",), k=5, n_buckets=64)
