@@ -692,6 +692,43 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgstats.pagerank_fixed(_word_edges(spark, sf_dir), iters=5)
 
 
+#: k-core parameters — single source for the Spark entry and the oracle
+_KCORE_K = 25
+_KCORE_ITERS = 4
+
+
+def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (kgstats.kcore): fixed peeling rounds, integer
+    degrees — engine-exact like the other iterative graph ops."""
+    from jamie_spark import kgstats
+
+    return kgstats.kcore(
+        _word_edges(spark, sf_dir), k=_KCORE_K, iters=_KCORE_ITERS
+    )
+
+
+def _asof_join_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every click gets the EARLIEST following purchase
+    value per user (same union+window machinery, descending sort)."""
+    from jamie_spark import temporal
+
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return temporal.asof_join(left, right, direction="forward").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value_right", 4).alias("purchase_value"),
+    )
+
+
 def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Triples serialization of the window triples (graph.to_ntriples).
     The fixture surfaces are plain lowercase words, so percent-encoding is
@@ -877,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _kg_triangles,
         "kg_pagerank": _kg_pagerank,
         "kg_communities": _kg_communities,
+        "kg_kcore": _kg_kcore,
         "kg_ntriples": _kg_ntriples,
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
@@ -895,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": _skew_salted_agg,
         "sessionization": _sessionization,
         "asof_join": _asof_join,
+        "asof_join_fwd": _asof_join_fwd,
         "range_count_1h": _range_count,
         "search_bm25": _search_bm25,
         "search_bm25_indexed": _search_bm25_indexed,
@@ -1062,6 +1101,40 @@ l0 AS (SELECT DISTINCT node, node AS label FROM adj)"""
         f"WITH {_EDGES_CTE.strip()},\n"
         + ",\n".join(ctes)
         + f"\nSELECT node, label FROM l{iters}"
+    )
+
+
+def _kcore_sql(k: int, iters: int) -> str:
+    """kgstats.kcore unrolled: per round, drop vertices with undirected
+    degree < k, then edges touching them; final report = surviving vertices
+    with their (>= k) degree. All integer — engine-exact."""
+    ctes = [
+        """und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst),
+e0 AS (SELECT a, b FROM und)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""d{i} AS (
+    SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e{i - 1}
+        UNION ALL SELECT b AS node FROM e{i - 1}
+    ) GROUP BY node),
+k{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+e{i} AS (
+    SELECT e.a, e.b FROM e{i - 1} e
+    JOIN k{i} x ON x.node = e.a
+    JOIN k{i} y ON y.node = e.b)""")
+    return (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+    SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e{iters}
+        UNION ALL SELECT b AS node FROM e{iters}
+    ) GROUP BY node
+) WHERE deg >= {k}"""
     )
 
 
@@ -1921,6 +1994,7 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
 """,
         "kg_pagerank": _pagerank_sql(5),
         "kg_communities": _lpa_sql(4),
+        "kg_kcore": _kcore_sql(_KCORE_K, _KCORE_ITERS),
         "asof_join": """
 WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
 r AS (SELECT user_id, ts, MAX(value) AS value
@@ -1928,6 +2002,14 @@ r AS (SELECT user_id, ts, MAX(value) AS value
 SELECT l.user_id, l.event_id, l.ts, ROUND(r.value, 4) AS purchase_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+        "asof_join_fwd": """
+WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, MAX(value) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT l.user_id, l.event_id, l.ts, ROUND(r.value, 4) AS purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
 """,
         "search_bm25": f"""
 WITH words AS (

@@ -124,6 +124,7 @@ def main() -> None:
         "skew_salted_agg",
         "sessionization",
         "asof_join",
+        "asof_join_fwd",
         "range_count_1h",
         "search_bm25",
         "search_bm25_indexed",
@@ -144,6 +145,7 @@ def main() -> None:
         "kg_triangles",
         "kg_pagerank",
         "kg_communities",
+        "kg_kcore",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",

@@ -240,6 +240,52 @@ def label_propagation(
     return labels
 
 
+def kcore(
+    edges: "DataFrame", k: int = 3, iters: int = 5, checkpoint_every: int = 3
+) -> "DataFrame":
+    """(node, deg) — the k-core after ``iters`` peeling rounds: repeatedly
+    drop vertices whose UNDIRECTED degree is < k, then edges touching them.
+
+    The dense-subgraph detector (spam link farms, tightly-coupled entity
+    clusters) next to LPA's communities. Pure integer degree arithmetic and
+    a fixed round count, so — like pagerank_fixed/label_propagation — the
+    result is engine-exact and value-oracles against an unrolled-CTE DuckDB
+    twin. ``iters`` bounds the peeling: most graphs converge in a handful
+    of rounds (a round that deletes nothing is a fixpoint and further
+    rounds are no-ops, so running extra rounds is safe, just wasted);
+    convergence detection would add a driver action per round. Per round:
+    one degree aggregation + one semi-join per endpoint, lineage truncated
+    every ``checkpoint_every`` rounds.
+    """
+    und = _undirected(edges).persist()
+    cur = und
+    for it in range(iters):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            cur = cur.localCheckpoint(eager=True)
+    out = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") >= k)
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    return out
+
+
 def pagerank_fixed(
     edges: "DataFrame",
     iters: int = 5,

@@ -38,23 +38,30 @@ def asof_join(
     ts: str = "ts",
     value_cols: tuple[str, ...] = ("value",),
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> "DataFrame":
     """For every left row, attach the LATEST right row with
     ``right.ts <= left.ts`` within the same ``on`` key (backward as-of,
-    DuckDB/pandas ``merge_asof`` semantics, match inclusive at equality).
+    DuckDB/pandas ``merge_asof`` semantics, match inclusive at equality);
+    ``direction="forward"`` attaches the EARLIEST right row with
+    ``right.ts >= left.ts`` instead.
 
     Implementation: tag and union the two inputs, sort each key partition by
     (ts, side) with the right side ordered FIRST at equal timestamps (that is
-    what makes the equality match inclusive), then carry the last non-null
-    right payload forward with an unbounded-preceding window. Left rows
-    before any right row keep nulls. If the right side can hold several rows
-    at the same (key, ts), deduplicate it first — which row "wins" a tie is
-    otherwise engine-dependent in every asof implementation.
+    what makes the equality match inclusive) — descending ts for the forward
+    direction, which turns "earliest following" into "last seen" under the
+    same window — then carry the last non-null right payload forward with an
+    unbounded-preceding window. Left rows with no admissible right row keep
+    nulls. If the right side can hold several rows at the same (key, ts),
+    deduplicate it first — which row "wins" a tie is otherwise
+    engine-dependent in every asof implementation.
 
     Cost: exactly one shuffle (the window partitioning) over left+right —
     compare a sort-merge theta-join, which Spark cannot express as anything
     better than a nested loop here.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     l_tag = left.select(
         F.col(on), F.col(ts), F.lit(1).alias("_side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
@@ -67,9 +74,10 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, ts)],
     )
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(

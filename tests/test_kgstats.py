@@ -109,6 +109,43 @@ def _fp_pagerank_py(pairs, iters, scale=kgstats.PR_SCALE, damping=85):
     return rank
 
 
+def _kcore_py(pairs, k, iters):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    for _ in range(iters):
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        und = {(a, b) for a, b in und if a in keep and b in keep}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+def test_kcore_peels_tail(spark):
+    # triangle core + a pendant chain hanging off it
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    got = {r["node"]: r["deg"] for r in
+           kgstats.kcore(_edges(spark, pairs), k=2, iters=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}  # chain peels away round by round
+    assert got == _kcore_py(pairs, 2, 4)
+    # k=3: the triangle itself dies (max degree 2)
+    assert kgstats.kcore(_edges(spark, pairs), k=3, iters=4).count() == 0
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    rng = random.Random(17)
+    nodes = [f"v{i}" for i in range(30)]
+    pairs = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(140)})
+    for k in (2, 3, 4):
+        got = {r["node"]: r["deg"] for r in
+               kgstats.kcore(_edges(spark, pairs), k=k, iters=6).collect()}
+        assert got == _kcore_py(pairs, k, 6), k
+
+
 def test_pagerank_matches_hand_iteration(spark):
     pairs = [
         ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"), ("d", "c"),

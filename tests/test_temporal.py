@@ -101,3 +101,42 @@ def test_range_count_matches_bruteforce_random(spark):
     for u, s in rows:
         exp = sum(1 for u2, s2 in rows if u2 == u and s < s2 <= s + horizon)
         assert got[(u, _t(0) + dt.timedelta(seconds=s))] == exp, (u, s)
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [(1, _t(5), "a"), (1, _t(10), "b"), (1, _t(30), "c")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(5), 50.0), (1, _t(8), 80.0), (1, _t(20), 200.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["ts"].second): r["value_right"]
+        for r in temporal.asof_join(left, right, direction="forward").collect()
+    }
+    assert got == {
+        (1, 5): 50.0,    # equality matches (inclusive)
+        (1, 10): 200.0,  # earliest following
+        (1, 30): None,   # nothing after
+    }
+
+
+def test_asof_join_forward_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(13)
+    left = [(rng.randrange(4), _t(rng.randrange(50)), float(i)) for i in range(150)]
+    right_raw = {(rng.randrange(4), rng.randrange(50)): float(500 + i) for i in range(90)}
+    right = [(u, _t(s), v) for (u, s), v in right_raw.items()]
+    ldf = spark.createDataFrame(left, "user_id long, ts timestamp, lval double")
+    rdf = spark.createDataFrame(right, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["ts"], r["lval"]): r["value_right"]
+        for r in temporal.asof_join(ldf, rdf, direction="forward").collect()
+    }
+    for u, t, lv in set(left):
+        cands = [(rt, rv) for ru, rt, rv in right if ru == u and rt >= t]
+        exp = min(cands)[1] if cands else None
+        assert got[(u, t, lv)] == exp, (u, t)
