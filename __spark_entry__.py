@@ -696,6 +696,26 @@ def _kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_K = 25
 _KCORE_ITERS = 4
 
+#: neighborhood-similarity parameters — single source with the oracle. The
+#: synthetic word graph is near-complete (median neighborhood Jaccard 0.90),
+#: so the threshold sits AT the median to exercise the filter path; the
+#: selectivity semantics are pinned by the sparse-graph unit tests.
+_NBR_MIN_SHARED = 5
+_NBR_THRESHOLD = 0.9
+
+
+def _kg_entity_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard entity similarity (kgstats.neighbor_jaccard):
+    link-prediction signal — pairs generated only through shared neighbors,
+    union size arithmetic (deg_a + deg_b - shared)."""
+    from jamie_spark import kgstats
+
+    return kgstats.neighbor_jaccard(
+        _word_edges(spark, sf_dir),
+        min_shared=_NBR_MIN_SHARED,
+        threshold=_NBR_THRESHOLD,
+    )
+
 
 def _kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (kgstats.kcore): fixed peeling rounds, integer
@@ -915,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _kg_pagerank,
         "kg_communities": _kg_communities,
         "kg_kcore": _kg_kcore,
+        "kg_entity_sim": _kg_entity_sim,
         "kg_ntriples": _kg_ntriples,
         "n3_window_top1": _n3_window_top1,
         "n5_partition_hist": _n5_partition_hist,
@@ -1995,6 +2016,27 @@ JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
         "kg_pagerank": _pagerank_sql(5),
         "kg_communities": _lpa_sql(4),
         "kg_kcore": _kcore_sql(_KCORE_K, _KCORE_ITERS),
+        "kg_entity_sim": f"""
+WITH {_EDGES_CTE.strip()},
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+sh AS (
+    SELECT w1.node AS node_a, w2.node AS node_b, COUNT(*) AS shared
+    FROM adj w1 JOIN adj w2 ON w1.nbr = w2.nbr
+    WHERE w1.node < w2.node
+    GROUP BY w1.node, w2.node
+    HAVING COUNT(*) >= {_NBR_MIN_SHARED})
+SELECT s.node_a, s.node_b, CAST(s.shared AS BIGINT) AS shared,
+       ROUND(s.shared / (da.deg + db.deg - s.shared), 4) AS jaccard
+FROM sh s
+JOIN deg da ON da.node = s.node_a
+JOIN deg db ON db.node = s.node_b
+WHERE s.shared / (da.deg + db.deg - s.shared) >= {_NBR_THRESHOLD}
+""",
         "asof_join": """
 WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
 r AS (SELECT user_id, ts, MAX(value) AS value

@@ -146,6 +146,7 @@ def main() -> None:
         "kg_pagerank",
         "kg_communities",
         "kg_kcore",
+        "kg_entity_sim",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",

@@ -240,6 +240,56 @@ def label_propagation(
     return labels
 
 
+def neighbor_jaccard(
+    edges: "DataFrame", min_shared: int = 2, threshold: float = 0.0
+) -> "DataFrame":
+    """(node_a, node_b, shared, jaccard) — undirected-neighborhood Jaccard
+    for every vertex pair sharing >= ``min_shared`` neighbors: the classic
+    link-prediction / entity-similarity signal over the KG ("these two
+    entities connect to the same things").
+
+    Plan shape is the dedup posting-list join transplanted to graphs:
+    pairs are generated ONLY through shared neighbors (wedge join on the
+    common vertex — never an all-pairs product), counted, then the union
+    size arrives arithmetically as deg_a + deg_b - shared. Hub neighbors
+    create the same quadratic wedge risk as hot shingles; callers on
+    power-law graphs should pre-cap hubs (drop or sample neighbors of
+    degree > D, exactly like textstats' max_df cap — not applied by default
+    because, unlike boilerplate shingles, hubs may be the signal).
+    """
+    und = _undirected(edges)
+    adj = und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = adj.select(F.col("node").alias("node_a"), "nbr")
+    w2 = adj.select(F.col("node").alias("node_b"), "nbr")
+    shared = (
+        w1.join(w2, "nbr")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    return (
+        shared.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def kcore(
     edges: "DataFrame", k: int = 3, iters: int = 5, checkpoint_every: int = 3
 ) -> "DataFrame":

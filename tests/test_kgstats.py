@@ -109,6 +109,43 @@ def _fp_pagerank_py(pairs, iters, scale=kgstats.PR_SCALE, damping=85):
     return rank
 
 
+def test_neighbor_jaccard_semantics(spark):
+    # a and b share neighbors {x, y}; a also sees z, so |union| = 3
+    pairs = [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y")]
+    got = {
+        (r["node_a"], r["node_b"]): (r["shared"], r["jaccard"])
+        for r in kgstats.neighbor_jaccard(_edges(spark, pairs), min_shared=2).collect()
+    }
+    assert got == {("a", "b"): (2, 0.6667), ("x", "y"): (2, 1.0)}
+
+
+def _nbr_jaccard_py(pairs, min_shared):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    ns = sorted(nbrs)
+    for i, a in enumerate(ns):
+        for b in ns[i + 1:]:
+            sh = len(nbrs[a] & nbrs[b])
+            if sh >= min_shared:
+                out[(a, b)] = (sh, round(sh / len(nbrs[a] | nbrs[b]), 4))
+    return out
+
+
+def test_neighbor_jaccard_matches_bruteforce(spark):
+    rng = random.Random(23)
+    nodes = [f"v{i}" for i in range(25)]
+    pairs = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(110)})
+    got = {
+        (r["node_a"], r["node_b"]): (r["shared"], r["jaccard"])
+        for r in kgstats.neighbor_jaccard(_edges(spark, pairs), min_shared=2).collect()
+    }
+    assert got == _nbr_jaccard_py(pairs, 2)
+
+
 def _kcore_py(pairs, k, iters):
     und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
     for _ in range(iters):
