@@ -812,6 +812,16 @@ def _sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-HLL distinct-user estimate over events: the sketch itself is
+    engine-exact (md5 registers, decimal harmonic sum), so even an
+    APPROXIMATE operator value-oracles — unlike approx_count_distinct,
+    whose xxhash sketch is engine-private."""
+    return textstats.approx_distinct(
+        _read(spark, sf_dir, "events"), "user_id"
+    )
+
+
 def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (Spark `percentile` ==
     DuckDB `quantile_cont`, both type-7). At 100 TB you'd reach for
@@ -960,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_indexed": _search_bm25_indexed,
         "sample_events": _sample_events,
         "percentiles": _percentiles,
+        "approx_distinct_hll": _approx_distinct,
         "q3_shipping_topk": _q3_shipping_topk,
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
@@ -1094,6 +1105,51 @@ edges AS (
     WHERE len(ws) >= 2
 ),
 nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+
+def _hll_sql(table: str, col: str, p: int = 9) -> str:
+    """textstats.approx_distinct twin: same md5 registers, same exact
+    decimal harmonic sum, same Python-computed double literals (rendered
+    with repr so both engines divide by bit-identical constants)."""
+    m = 1 << p
+    w = textstats.HLL_BITS - p
+    K = w + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(1 << K)
+    empty_term = float(1 << K)
+    return f"""
+WITH h AS (
+    SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT AS h
+    FROM {table} WHERE {col} IS NOT NULL
+),
+split AS (
+    SELECT CAST(h // {1 << w} AS INT) AS bucket, h % {1 << w} AS rest FROM h
+),
+ranks AS (
+    SELECT bucket,
+           length(regexp_extract(lpad(bin(rest), {w}, '0'), '^(0*)', 1)) + 1
+               AS rank
+    FROM split
+),
+regs AS (SELECT bucket, MAX(rank) AS reg FROM ranks GROUP BY bucket),
+agg AS (
+    SELECT COUNT(*) AS n_used,
+           COALESCE(SUM(CAST(pow(2.0, {K} - reg) AS DECIMAL(38,0))),
+                    CAST(0 AS DECIMAL(38,0))) AS s_used
+    FROM regs
+)
+SELECT {m} AS m,
+       CAST({m} - n_used AS BIGINT) AS v_empty,
+       ROUND(CASE
+           WHEN n_used < {m}
+            AND {num!r} / (CAST(s_used AS DOUBLE)
+                           + ({m} - n_used) * {empty_term!r}) <= {2.5 * m}
+           THEN {float(m)!r} * ln({float(m)!r} / ({m} - n_used))
+           ELSE {num!r} / (CAST(s_used AS DOUBLE)
+                           + ({m} - n_used) * {empty_term!r})
+       END, 4) AS estimate
+FROM agg
+"""
 
 
 def _lpa_sql(iters: int = 4) -> str:
@@ -2089,6 +2145,7 @@ WHERE ('0x' || substr(md5('s0' ||
           md5(coalesce(CAST(event_id AS VARCHAR), chr(0) || 'null'))),
        1, 8))::BIGINT % 1000000 < 100000
 """,
+        "approx_distinct_hll": _hll_sql("events", "user_id"),
         "percentiles": """
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 4) AS p50,

@@ -130,6 +130,7 @@ def main() -> None:
         "search_bm25_indexed",
         "sample_events",
         "percentiles",
+        "approx_distinct_hll",
         "q3_shipping_topk",
         "q5_regional_revenue",
         "r2_pair_counts",

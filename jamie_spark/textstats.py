@@ -549,6 +549,94 @@ def simhash(docs: "DataFrame") -> "DataFrame":
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+#: HLL geometry: 60 hash bits from md5 (15 hex digits — fits int64 signed),
+#: p bucket bits, w = 60 - p rank bits. Single source with the oracle.
+HLL_BITS = 60
+
+
+def approx_distinct(df: "DataFrame", col: str, p: int = 9) -> "DataFrame":
+    """(m, v_empty, estimate) — HyperLogLog distinct count with
+    md5-derived, ENGINE-EXACT registers.
+
+    Spark's ``approx_count_distinct`` is the production path at 100 TB, but
+    its sketch is engine-private (xxhash + HLL++ bias tables) — it cannot
+    be value-checked against anything. This twin builds the registers from
+    md5 (the hash both engines share): bucket = top ``p`` bits of a 60-bit
+    md5 prefix, rank = leading zeros of the remaining bits + 1 (computed on
+    a zero-padded BINARY STRING — no float log2 at the boundary), register
+    = max rank per bucket. The harmonic sum is assembled from exact powers
+    of two in DECIMAL (order-free), so Spark and DuckDB agree on the sketch
+    AND the estimate to the last rounded digit. Standard linear-counting
+    small-range correction below 2.5m. Error ~1.04/sqrt(2^p) (~4.6% at
+    p=9).
+
+    One hash aggregation (m <= 2^p registers) — same plan shape as the real
+    thing; use this to VALIDATE a pipeline's sketching, use
+    approx_count_distinct to run it.
+    """
+    m = 1 << p
+    w = HLL_BITS - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = df.where(F.col(col).isNotNull()).select(h.alias("h"))
+    # integer div/mod only — double division would round a 60-bit value
+    # (> 2^53) and scramble bucket assignment
+    split = hashed.select(
+        F.expr(f"h div {1 << w}").cast("int").alias("bucket"),
+        (F.col("h") % (1 << w)).alias("rest"),
+    )
+    bits = F.lpad(F.bin(F.col("rest")), w, "0")
+    rank = (
+        F.length(F.regexp_extract(bits, "^(0*)", 1)) + 1
+    )  # w+1 when rest == 0 (all zeros)
+    regs = (
+        split.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    # exact harmonic sum: term = 2^(w+1-reg) as DECIMAL; empty buckets
+    # contribute 2^(w+1) each (reg = 0) — added arithmetically
+    K = w + 1
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.coalesce(
+            F.sum(
+                F.pow(F.lit(2.0), F.lit(K) - F.col("reg")).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("s_used"),
+    )
+    return agg.select(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_used")).cast("long").alias("v_empty"),
+        F.round(
+            F.when(
+                # small-range: linear counting when empties remain and the
+                # raw estimate would be under 2.5m
+                (F.col("n_used") < m)
+                & (
+                    F.lit(alpha * m * m * float(1 << K))
+                    / (
+                        F.col("s_used").cast("double")
+                        + (F.lit(m) - F.col("n_used")) * float(1 << K)
+                    )
+                    <= 2.5 * m
+                ),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_used"))),
+            ).otherwise(
+                F.lit(alpha * m * m * float(1 << K))
+                / (
+                    F.col("s_used").cast("double")
+                    + (F.lit(m) - F.col("n_used")) * float(1 << K)
+                )
+            ),
+            4,
+        ).alias("estimate"),
+    )
+
+
 def sample_hash(
     df: "DataFrame",
     id_cols: tuple[str, ...],

@@ -162,3 +162,24 @@ def test_incremental_dedup_against_store(spark, tmp_path):
     out_c = {(r["new_doc_id"], r["stored_doc_id"]): r["est_jaccard"]
              for r in textstats.dedup_incremental(docs_c, store).collect()}
     assert out_c[(200, 102)] == 1.0
+
+
+def test_approx_distinct_accuracy_and_determinism(spark):
+    """md5-HLL estimate within the standard error envelope of the true
+    distinct count, and bit-stable across partitionings (the whole point:
+    an engine-exact sketch)."""
+    from pyspark.sql import functions as F
+
+    for true_n in (500, 5_000, 40_000):
+        df = spark.range(0, true_n * 3).select(
+            (F.col("id") % true_n).alias("v")
+        )
+        row = textstats.approx_distinct(df, "v").first()
+        est = row["estimate"]
+        assert abs(est - true_n) / true_n < 0.15, (true_n, est)
+        row2 = textstats.approx_distinct(df.repartition(17), "v").first()
+        assert row2["estimate"] == est  # exact-arithmetic sketch: no drift
+    # null-only input: zero estimate via linear counting (all empty)
+    nulls = spark.createDataFrame([(None,)], "v string")
+    r = textstats.approx_distinct(nulls, "v").first()
+    assert r["v_empty"] == r["m"] and r["estimate"] == 0.0
