@@ -2091,7 +2091,7 @@ SELECT s.node_a, s.node_b, CAST(s.shared AS BIGINT) AS shared,
 FROM sh s
 JOIN deg da ON da.node = s.node_a
 JOIN deg db ON db.node = s.node_b
-WHERE s.shared / (da.deg + db.deg - s.shared) >= {_NBR_THRESHOLD}
+WHERE ROUND(s.shared / (da.deg + db.deg - s.shared), 4) >= {_NBR_THRESHOLD}
 """,
         "asof_join": """
 WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),

@@ -107,6 +107,33 @@ def _undirected(edges: "DataFrame") -> "DataFrame":
     )
 
 
+def _adjacency(und: "DataFrame") -> "DataFrame":
+    """Undirected edges (a, b) -> both-direction (node, nbr) rows — the one
+    definition of adjacency every undirected operator shares."""
+    return und.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+
+
+def _und_degrees(und: "DataFrame") -> "DataFrame":
+    """(node, deg) over the undirected projection — single source for the
+    degree semantics (self-loops already dropped by _undirected; parallel
+    edges already collapsed by its distinct)."""
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def _check_cadence(checkpoint_every: int) -> None:
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+
+
 def orient(edges: "DataFrame") -> "DataFrame":
     """Degree-order the undirected projection: every edge points from the
     LOWER to the HIGHER endpoint under the total order (degree, node) — so
@@ -115,12 +142,7 @@ def orient(edges: "DataFrame") -> "DataFrame":
     Public so the skew tests can assert the hub-flattening directly.
     Returns (lo, hi)."""
     und = _undirected(edges)
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    deg = _und_degrees(und)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     # orient low -> high under (deg, id); ties broken by id so the order is total
@@ -205,11 +227,8 @@ def label_propagation(
     can plan 2-3 chained rounds as one job; unbounded chaining would instead
     grow the plan tree superlinearly. Same knob on :func:`pagerank_fixed`.
     """
-    und = _undirected(edges)
-    adj = und.select(
-        F.col("a").alias("node"), F.col("b").alias("nbr")
-    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
-    adj = adj.persist()
+    _check_cadence(checkpoint_every)
+    adj = _adjacency(_undirected(edges)).persist()
     nodes = adj.select("node").distinct().persist()
     labels = nodes.select("node", F.col("node").alias("label"))
     for it in range(iters):
@@ -257,10 +276,11 @@ def neighbor_jaccard(
     degree > D, exactly like textstats' max_df cap — not applied by default
     because, unlike boilerplate shingles, hubs may be the signal).
     """
-    und = _undirected(edges)
-    adj = und.select(
-        F.col("a").alias("node"), F.col("b").alias("nbr")
-    ).unionAll(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    # adj feeds THREE distinct subplans (deg, both wedge sides) with
+    # different shuffle keys — ReuseExchange can't collapse them, so
+    # materialize once instead of re-running the scan + distinct 3x
+    adj = _adjacency(_undirected(edges)).localCheckpoint(eager=True)
+    # degree over adjacency == _und_degrees over und (both directions once)
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     w1 = adj.select(F.col("node").alias("node_a"), "nbr")
     w2 = adj.select(F.col("node").alias("node_b"), "nbr")
@@ -313,16 +333,11 @@ def kcore(
     scan by round 4 (measured 12s vs ~1s on the sf0.1 word graph). The
     per-round barrier is the cheap side of that trade.
     """
+    _check_cadence(checkpoint_every)
     und = _undirected(edges).persist()
     cur = und
     for it in range(iters):
-        deg = (
-            cur.select(F.col("a").alias("node"))
-            .unionAll(cur.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        keep = deg.where(F.col("deg") >= k).select("node")
+        keep = _und_degrees(cur).where(F.col("deg") >= k).select("node")
         cur = (
             cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
@@ -331,10 +346,7 @@ def kcore(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             cur = cur.localCheckpoint(eager=True)
     out = (
-        cur.select(F.col("a").alias("node"))
-        .unionAll(cur.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        _und_degrees(cur)
         .where(F.col("deg") >= k)
         .localCheckpoint(eager=True)
     )
@@ -372,6 +384,7 @@ def pagerank_fixed(
     BEFORE the loop-invariant caches are released. At cluster scale a
     reliable checkpoint dir serves the same purpose.
     """
+    _check_cadence(checkpoint_every)
     e = edges.select("src", "dst").distinct()
     # both loop-invariant inputs are persisted: every iteration re-reads the
     # vertex set AND the degree-annotated edges — without the cache each

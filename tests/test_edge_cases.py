@@ -29,6 +29,42 @@ def test_kgstats_empty_graph(spark):
     assert kgstats.label_propagation(e, iters=2).count() == 0
 
 
+def test_kgstats_final_ops_empty_graph(spark):
+    e = _empty_edges(spark)
+    assert kgstats.kcore(e, k=2, iters=3).count() == 0
+    assert kgstats.neighbor_jaccard(e).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        kgstats.kcore(e, k=2, checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        kgstats.label_propagation(e, checkpoint_every=-1)
+
+
+def test_approx_distinct_empty_frame(spark):
+    from jamie_spark import textstats
+
+    empty = spark.createDataFrame([], "v string")
+    r = textstats.approx_distinct(empty, "v").first()
+    assert r["v_empty"] == r["m"] and r["estimate"] == 0.0
+
+
+def test_asof_forward_empty_right(spark):
+    import datetime as dt2
+
+    left = spark.createDataFrame(
+        [(1, dt2.datetime(2024, 1, 1), "x")],
+        "user_id long, ts timestamp, tag string",
+    )
+    empty_r = spark.createDataFrame([], "user_id long, ts timestamp, value double")
+    out = temporal.asof_join(left, empty_r, direction="forward").collect()
+    assert len(out) == 1 and out[0]["value_right"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        temporal.asof_join(left, empty_r, direction="sideways")
+
+
 def test_kgstats_self_loops_only(spark):
     e = spark.createDataFrame([("a", "a"), ("b", "b")], "src string, dst string")
     # undirected projection drops self-loops -> no triangles/communities
