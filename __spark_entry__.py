@@ -608,7 +608,9 @@ def _int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fixture pipeline (rows-only check; non-SQL-expressible UDF stage)."""
+    """Full fixture pipeline, fully value-oracled: _kg_pipeline_oracle_sql
+    replays extract->annotate->link->canonicalize as a DuckDB CTE chain over
+    the same deterministic fixture (the stand-in extractor is spec'd in SQL)."""
     pages = fixtures.pages_df(spark, 150, seed=42)
     concepts = fixtures.concept_df(spark)
     return pipeline.run_kg(pages, concepts)["canonical_triples"].select(
@@ -632,7 +634,9 @@ def _kg_pipeline_triples_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kg_canon_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components on the alias graph (rows-only: iterative)."""
+    """Connected components on the alias graph — value-oracled via the
+    unrolled-CTE twin registered under kg_canon_components (iterative CC,
+    fixed-point reached within the unroll depth on the fixture graph)."""
     return canon.canonicalize_concepts(fixtures.concept_df(spark))
 
 
@@ -766,22 +770,57 @@ _BM25_TERMS = ("spark", "stream", "sort")
 
 def _content_key(sf_dir: str, name: str) -> str:
     """Cache key for derived /tmp artifacts (BM25 index, signature store):
-    hashes the SOURCE parquet's file names + sizes + mtimes, not just the
-    path — regenerated testdata at the same sf_dir invalidates the cache
-    instead of silently serving stale derived state."""
+    hashes the SOURCE parquet's file names + sizes + mtimes PLUS a sampled
+    slice of actual bytes (head + tail of the first data file) — regenerated
+    testdata at the same sf_dir invalidates the cache even when sizes and
+    second-granularity mtimes collide (ADVICE r03)."""
     import hashlib
     import os
 
     p = f"{sf_dir}/{name}.parquet"
     parts = [p]
+    files: list[str] = []
     if os.path.isdir(p):
         for f in sorted(os.listdir(p)):
-            st = os.stat(os.path.join(p, f))
+            fp = os.path.join(p, f)
+            st = os.stat(fp)
             parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            if f.endswith(".parquet"):
+                files.append(fp)
     elif os.path.exists(p):
         st = os.stat(p)
         parts.append(f"{st.st_size}:{int(st.st_mtime)}")
-    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+        files.append(p)
+    h = hashlib.md5("|".join(parts).encode())
+    if files:  # byte sample: parquet footers carry row-group stats, so a
+        #        content change is visible even at equal file size
+        with open(files[0], "rb") as fh:
+            h.update(fh.read(4096))
+            fh.seek(max(0, os.path.getsize(files[0]) - 4096))
+            h.update(fh.read(4096))
+    return h.hexdigest()[:12]
+
+
+def _ensure_cached(path: str, marker: str, build) -> None:
+    """Concurrency-safe /tmp artifact cache (ADVICE r03): build into a
+    per-PID scratch dir, then atomically os.rename into place. Readers only
+    ever see fully-published dirs (rename is atomic within /tmp), so a
+    concurrent driver can no longer overwrite files under an active reader;
+    losing the publish race just discards the duplicate build."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, marker)):
+        return
+    # a dir without its marker is garbage from a pre-atomic-publish version
+    shutil.rmtree(path, ignore_errors=True)
+    scratch = f"{path}.build.{os.getpid()}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    build(scratch)
+    try:
+        os.rename(scratch, path)
+    except OSError:  # another writer published first; ours is redundant
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,13 +833,15 @@ def _search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query through the MATERIALIZED inverted index (term-bucketed
     postings, partition-pruned read) — must reproduce the scan path exactly,
     so it shares search_bm25's oracle. The index is cached per CONTENT of
-    the source parquet (not per path — see _content_key) and the guard is
-    the writer's _SUCCESS marker, so a killed half-built index rebuilds."""
-    import os
-
+    the source parquet (see _content_key) and published atomically via
+    per-PID scratch + rename (_ensure_cached), so a killed or concurrent
+    build can never serve a half-built index."""
     path = f"/tmp/jamie_bm25_index_{_content_key(sf_dir, 'documents')}"
-    if not os.path.exists(f"{path}/stats/_SUCCESS"):
-        search_mod.build_index(_docs(spark, sf_dir), path)
+    _ensure_cached(
+        path,
+        "stats/_SUCCESS",
+        lambda scratch: search_mod.build_index(_docs(spark, sf_dir), scratch),
+    )
     return search_mod.search_index(spark, path, _BM25_TERMS, k=50)
 
 
@@ -905,14 +946,15 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store cached per source-parquet CONTENT, completion-guarded by the
     writer's _SUCCESS marker). Estimated Jaccard = MinHash agreement
     fraction — the store holds signatures, never text."""
-    import os
-
     docs = _docs(spark, sf_dir)
     path = f"/tmp/jamie_sigstore_{_content_key(sf_dir, 'documents')}"
-    if not os.path.exists(f"{path}/_SUCCESS"):
-        textstats.write_signature_store(
-            docs.where(F.col("doc_id") % 2 == 0), path
-        )
+    _ensure_cached(
+        path,
+        "_SUCCESS",
+        lambda scratch: textstats.write_signature_store(
+            docs.where(F.col("doc_id") % 2 == 0), scratch
+        ),
+    )
     return textstats.dedup_incremental(
         docs.where(F.col("doc_id") % 2 == 1), path, min_agree=0.25
     )
@@ -930,7 +972,27 @@ def _dedup_passages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered entries, ORDERED for the driver's 50-key oracle window.
+
+    The per-round correctness driver checks the FIRST 50 keys of this dict
+    (observed r03: the 9 tail entries got no row). Ordering policy, per
+    VERDICT r03 #1: entries that missed a green row last round come FIRST,
+    followed by new-this-round entries, then the previously-green remainder
+    rotated so nothing goes more than one round unchecked. The tail (beyond
+    position 50) must only ever hold entries green in the immediately
+    preceding round.
+    """
     return {
+        # --- r03-unchecked head (never-oracled or changed-since-green) ---
+        "dedup_passages": _dedup_passages,
+        "dedup_passages_cdc": _dedup_passages_cdc,
+        "dedup_incremental": _dedup_incremental,
+        "sim_int8_topk": _int8_topk,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "doc_fingerprint": _fingerprints,
+        "sim_cosine_topk": _cosine_topk,
+        "sim_lsh_topk": _lsh_topk,
+        "sim_ivf_topk": _ivf_topk,
         # KG construction family
         "kg_mentions": _kg_mentions,
         "kg_triples_window": _kg_triples_window,
@@ -975,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
         "token_counts": _token_counts,
+        # ---- position 50 cutoff: everything below was green in r03 and ----
+        # ---- rotates into the head next round                          ----
         "token_counts_bpe": _token_counts_bpe,
         "text_quality": _quality,
         "lang_id": _lang_id,
@@ -985,15 +1049,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_pairs": _near_dup_pairs,
         "dedup_clusters": _dedup_clusters,
         "dedup_simhash": _simhash,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "dedup_passages": _dedup_passages,
-        "dedup_passages_cdc": _dedup_passages_cdc,
-        "dedup_incremental": _dedup_incremental,
-        "doc_fingerprint": _fingerprints,
-        "sim_cosine_topk": _cosine_topk,
-        "sim_int8_topk": _int8_topk,
-        "sim_lsh_topk": _lsh_topk,
-        "sim_ivf_topk": _ivf_topk,
     }
 
 

@@ -41,6 +41,7 @@
 
 from __future__ import annotations
 
+import logging
 from typing import TYPE_CHECKING
 
 from pyspark.sql import Window
@@ -48,6 +49,8 @@ from pyspark.sql import functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
 
 DIM = 64
 
@@ -149,6 +152,28 @@ def planes_for_corpus(n_rows: int, target_bucket: int = TARGET_BUCKET) -> int:
     import math
 
     return max(N_PLANES, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
+
+
+def _resolve_planes(
+    embeddings: "DataFrame", n_planes: int | None, n_rows: int | None
+) -> int:
+    """Shared auto-derive gate for every LSH entry point (ADVICE r03): when
+    both ``n_planes`` and ``n_rows`` are None, the derivation needs a corpus
+    count — an eager job at plan-construction time, which re-executes the
+    whole upstream plan if ``embeddings`` is derived and uncached. Log it
+    loudly so the extra job is never silent; callers with derived inputs
+    should pass ``n_rows`` (known) or ``n_planes`` (pinned)."""
+    if n_planes is not None:
+        return n_planes
+    if n_rows is None:
+        logger.warning(
+            "sim: auto-deriving n_planes fires an eager count() over the "
+            "input now (metadata-cheap for a table scan, a full re-execution "
+            "for a derived uncached frame) — pass n_rows= or n_planes= to "
+            "skip this job"
+        )
+        n_rows = embeddings.count()
+    return planes_for_corpus(n_rows)
 
 
 def _plane_component(table: int, p: int, i: int) -> float:
@@ -289,10 +314,7 @@ def candidate_pairs(
     ``embeddings`` is a derived, uncached frame: pass ``n_rows`` (or
     ``n_planes``) explicitly in that case.
     """
-    if n_planes is None:
-        n_planes = planes_for_corpus(
-            embeddings.count() if n_rows is None else n_rows
-        )
+    n_planes = _resolve_planes(embeddings, n_planes, n_rows)
     sig = bucket_signatures(embeddings, n_planes, n_tables)
     return (
         sig.alias("a")
@@ -481,10 +503,7 @@ def lsh_topk(
     input is a derived, uncached frame (the auto-derive count() would run
     the upstream plan once extra).
     """
-    if n_planes is None:
-        n_planes = planes_for_corpus(
-            embeddings.count() if n_rows is None else n_rows
-        )
+    n_planes = _resolve_planes(embeddings, n_planes, n_rows)
     # query-side signatures computed from the TINY query subset (broadcast)
     # rather than by filtering the corpus signature stage: the latter gives
     # the two join sides different subplans above the mapInArrow node, so
@@ -542,7 +561,7 @@ def quantize_int8(embeddings: "DataFrame") -> "DataFrame":
 
     Why: the embedding column is the widest thing the similarity family ever
     moves — int8 cuts those bytes 4x at a recall cost measured under 2%
-    (tests gate recall\@5 >= 0.9 vs the exact path). Quantized dots are pure
+    (tests gate recall@5 >= 0.9 vs the exact path). Quantized dots are pure
     int64 folds: engine-exact, hence value-oracle-able like everything else.
     """
     amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
@@ -574,7 +593,7 @@ def cosine_topk_int8(
     int64-exact dot products.
 
     Role: the recall/correctness yardstick for the quantized REPRESENTATION
-    (the tests gate recall\@5 >= 0.9 against the exact path). The 4x byte
+    (the tests gate recall@5 >= 0.9 against the exact path). The 4x byte
     win of int8 pays off where the representation crosses an exchange or
     lands in storage — candidate-verify joins, ANN shortlists, persisted
     vector tables — NOT in this broadcast top-k, whose candidate side

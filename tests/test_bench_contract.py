@@ -33,10 +33,18 @@ def test_bench_emits_driver_contract_json():
     assert isinstance(payload["value"], (int, float)) and payload["value"] > 0
     assert payload["queries"]["kg_pipeline"] > 0
     assert payload["kg_triples"] > 0
-    # medians-with-spread contract (round-over-round comparability)
+    # medians-with-spread contract (round-over-round comparability). The
+    # stdout line is kept SLIM so it survives the driver's bounded tail
+    # capture (VERDICT r03); per-query spread lives in the full record the
+    # line points at.
     assert payload["runs_per_query"] == 2
-    for name, med in payload["queries"].items():
-        lo, hi = payload["spread"][name]
+    assert "spread" not in payload
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, payload["spread_file"])) as fh:
+        full = json.load(fh)
+    assert full["queries"] == payload["queries"]
+    for name, med in full["queries"].items():
+        lo, hi = full["spread"][name]
         assert lo <= med <= hi, (name, lo, med, hi)
     # dedup scale-stress stage: candidate volume must stay near-linear
     assert payload["stress_docs"] == 5000
