@@ -619,6 +619,31 @@ def _kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_pipeline_triples_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fixture pipeline executed by the numpy real-weights provider
+    (jamie_spark.npmodel): compiled checkpoint -> embedding/windowed-ReLU
+    forward -> CRF Viterbi + bilinear selection decode, through the identical
+    batched framing/realign path the torch provider drives. Shares the
+    kg_pipeline oracle SQL — the M1 stage is provider-pluggable, so the
+    emitted triples must be value-identical to the stand-in's."""
+    from jamie_spark import npmodel
+
+    path = f"/tmp/jamie_np_ckpt_{npmodel.CHECKPOINT_VERSION}"
+    _ensure_cached(
+        path,
+        "weights.npz",
+        lambda scratch: npmodel.compile_fixture_checkpoint(scratch),
+    )
+    pages = fixtures.pages_df(spark, 150, seed=42)
+    concepts = fixtures.concept_df(spark)
+    return pipeline.run_kg(pages, concepts, model_spec=f"numpy:{path}")[
+        "canonical_triples"
+    ].select(
+        "url", "sent_id", "subj_surface", "pred", "obj_surface",
+        "subj_id", "obj_id",
+    )
+
+
 def _kg_pipeline_triples_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full fixture pipeline in DOCUMENT-LEVEL trunk mode (T11): [SEP]-joined
     trunks through the same hot path; relations range over the trunk. Oracle:
@@ -997,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _kg_mentions,
         "kg_triples_window": _kg_triples_window,
         "kg_pipeline_triples": _kg_pipeline_triples,
+        "kg_pipeline_triples_numpy": _kg_pipeline_triples_numpy,
         "kg_pipeline_triples_doc": _kg_pipeline_triples_doc,
         "kg_canon_components": _kg_canon_components,
         "kg_link_rerank": _kg_link_rerank,
@@ -1037,7 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
         "token_counts": _token_counts,
-        # ---- position 50 cutoff: everything below was green in r03 and ----
+        # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
         "token_counts_bpe": _token_counts_bpe,
         "text_quality": _quality,
@@ -2264,6 +2290,7 @@ SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM anchored GROUP BY passage HAVING COUNT(*) >= {_PASSAGE_MIN_DOCS}
 """,
         "kg_pipeline_triples": _kg_pipeline_oracle_sql(),
+        "kg_pipeline_triples_numpy": _kg_pipeline_oracle_sql(),
         "kg_pipeline_triples_doc": _kg_pipeline_oracle_sql(120, doc_mode=True),
         "sim_lsh_topk": f"""
 WITH {_lsh_sig_ctes()},

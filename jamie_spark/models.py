@@ -69,7 +69,171 @@ def _torch_deps():
 MAX_ENCODER_LEN = 512  # BERT position limit (reference bert_max_len)
 
 
-class TorchJointExtractor:
+class BatchedJointExtractor:
+    """Shared batched encode -> forward -> realign path (M1/M2 framing).
+
+    Everything that is NOT the model math lives here, executed identically by
+    every real-weights provider: WordPiece + de-UNK with explicit word-id
+    alignment (T5/T6, reference utils.py:2493-2496), per-batch [CLS]/[SEP]
+    framing and padding to the batch max, the B6 sentence mask, the
+    over-length backstop, and the subword->word realignment with relation
+    anchor remapping (utils.py:1831-1892, eval_joint clinical_joint.py:87-95).
+    Subclasses supply three hooks:
+
+    * ``_wordpiece(token)`` — one word -> subword pieces ([UNK] on failure);
+    * ``_piece_ids(pieces)`` / ``_special_ids()`` — vocabulary lookup;
+    * ``_forward(tok_rows, attn_rows, sent_rows)`` — the batched model call
+      over plain rectangular int rows, returning per-live-row
+      (subword BIO strings, subword mod strings, rel dict triplets) — the
+      reference eval forward contract (model.py:641-709).
+    """
+
+    subword_vocab: set[str] | None = None
+
+    # -- subclass hooks ------------------------------------------------------
+
+    def _wordpiece(self, token: str) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def _piece_ids(self, pieces: list[str]) -> list[int]:  # pragma: no cover
+        raise NotImplementedError
+
+    def _special_ids(self) -> tuple[int, int, int]:  # pragma: no cover
+        """(cls_id, sep_id, pad_id)."""
+        raise NotImplementedError
+
+    def _forward(self, tok_rows, attn_rows, sent_rows):  # pragma: no cover
+        raise NotImplementedError
+
+    # -- shared encode -------------------------------------------------------
+
+    def _subwords(self, tokens: list[str]) -> tuple[list[str], list[int]]:
+        """Word tokens -> (de-UNK'd subwords, word id per subword)."""
+        from .subword import UNK
+
+        sbw: list[str] = []
+        word_ids: list[int] = []
+        for wid, tok in enumerate(tokens):
+            pieces = self._wordpiece(tok) or [UNK]
+            pieces = [tok if p == UNK else p for p in pieces]  # de-UNK (T6)
+            sbw.extend(pieces)
+            word_ids.extend([wid] * len(pieces))
+        return sbw, word_ids
+
+    # -- shared decode -------------------------------------------------------
+
+    @staticmethod
+    def _realign(
+        n_words: int,
+        full_word_ids: list[int],
+        sbw_ner: list[str],
+        sbw_mod: list[str],
+        rel_triplets: list[dict],
+    ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:
+        """Subword-level predictions -> word-level, [CLS]/[SEP] stripped.
+
+        ``full_word_ids[i]`` is the word index (0 = [CLS], n_words+1 =
+        [SEP]) of subword position i. NER from each word's FIRST subword
+        (sbwner2ner), modality from its LAST (sbwmod2mod), relation anchors
+        from the LAST subword of the model's entity index lists with the
+        [CLS] offset removed (sbwrel2head, offset=-1).
+        """
+        total = n_words + 2
+        ner = ["O"] * total
+        mod = ["_"] * total
+        seen: set[int] = set()
+        for i, wid in enumerate(full_word_ids):
+            if wid not in seen:
+                seen.add(wid)
+                ner[wid] = sbw_ner[i] if i < len(sbw_ner) else "O"
+            if i < len(sbw_mod):
+                mod[wid] = sbw_mod[i]
+        rels: list[list[str]] = [[] for _ in range(n_words)]
+        heads: list[list[int]] = [[] for _ in range(n_words)]
+        for t in rel_triplets:
+            if t["predicate"] == "N" or not t["subject"] or not t["object"]:
+                continue
+            s_last, o_last = t["subject"][-1], t["object"][-1]
+            if not (0 <= s_last < len(full_word_ids)):
+                continue
+            if not (0 <= o_last < len(full_word_ids)):
+                continue
+            w_tail = full_word_ids[s_last] - 1
+            w_head = full_word_ids[o_last] - 1
+            if 0 <= w_tail < n_words and 0 <= w_head < n_words:
+                if (t["predicate"], w_head) not in zip(rels[w_tail], heads[w_tail]):
+                    rels[w_tail].append(t["predicate"])
+                    heads[w_tail].append(w_head)
+        return ner[1:-1], mod[1:-1], rels, heads
+
+    def annotate_batch(
+        self, batch_tokens: list[list[str]]
+    ) -> list[tuple[list[str], list[str], list[list[str]], list[list[int]]]]:
+        """One Arrow batch of sentences -> per-sentence (ner, mod, rels,
+        heads). Sentences over the encoder limit come back all-O (the T12
+        gate upstream already drops them when subword_vocab is set; this is
+        the defensive backstop)."""
+        cls_id, sep_id, pad_id = self._special_ids()
+
+        from .subword import document_sent_mask
+
+        encoded = []
+        for tokens in batch_tokens:
+            sbw, word_ids = self._subwords(tokens)
+            if len(sbw) + 2 > MAX_ENCODER_LEN:
+                encoded.append(None)
+                continue
+            ids = [cls_id] + self._piece_ids(sbw) + [sep_id]
+            full_word_ids = (
+                [0] + [w + 1 for w in word_ids] + [len(tokens) + 1]
+            )
+            # B6: alternating token_type_ids flipping at in-band [SEP]
+            # (doc-level trunk mode; all zeros for single-sentence units)
+            smask = document_sent_mask(["[CLS]"] + sbw + ["[SEP]"])
+            encoded.append((ids, full_word_ids, smask))
+        live = [e for e in encoded if e is not None]
+        results: dict[int, tuple] = {}
+        if live:
+            max_len = max(len(ids) for ids, _, _ in live)
+            tok_rows, attn_rows, sent_rows = [], [], []
+            for ids, _, smask in live:
+                pad = max_len - len(ids)
+                tok_rows.append(ids + [pad_id] * pad)
+                attn_rows.append([1] * len(ids) + [0] * pad)
+                sent_rows.append(smask + [0] * pad)
+            ner_tags, mod_tags, rel_triplets = self._forward(
+                tok_rows, attn_rows, sent_rows
+            )
+            li = 0
+            for bi, e in enumerate(encoded):
+                if e is None:
+                    continue
+                _, full_word_ids, _ = e
+                results[bi] = self._realign(
+                    len(batch_tokens[bi]),
+                    full_word_ids,
+                    list(ner_tags[li]),
+                    list(mod_tags[li]),
+                    list(rel_triplets[li]),
+                )
+                li += 1
+        out = []
+        for bi, tokens in enumerate(batch_tokens):
+            if bi in results:
+                out.append(results[bi])
+            else:
+                n = len(tokens)
+                out.append((["O"] * n, ["_"] * n, [[] for _ in range(n)],
+                            [[] for _ in range(n)]))
+        return out
+
+    def annotate_sentence(
+        self, tokens: list[str]
+    ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:
+        return self.annotate_batch([tokens])[0]
+
+
+class TorchJointExtractor(BatchedJointExtractor):
     """Real-model provider: the JaMIE joint checkpoint behind the same
     ``annotate_sentence`` contract as the stand-in.
 
@@ -123,139 +287,27 @@ class TorchJointExtractor:
         self._model.eval()
         self.subword_vocab = set(self._tokenizer.get_vocab())
 
-    # -- encoding ------------------------------------------------------------
+    # -- BatchedJointExtractor hooks -----------------------------------------
 
-    def _subwords(self, tokens: list[str]) -> tuple[list[str], list[int]]:
-        """Word tokens -> (de-UNK'd subwords, word id per subword)."""
-        from .subword import UNK
+    def _wordpiece(self, token: str) -> list[str]:
+        return self._tokenizer.tokenize(token)
 
-        sbw: list[str] = []
-        word_ids: list[int] = []
-        for wid, tok in enumerate(tokens):
-            pieces = self._tokenizer.tokenize(tok) or [UNK]
-            pieces = [tok if p == UNK else p for p in pieces]  # de-UNK (T6)
-            sbw.extend(pieces)
-            word_ids.extend([wid] * len(pieces))
-        return sbw, word_ids
+    def _piece_ids(self, pieces: list[str]) -> list[int]:
+        return self._tokenizer.convert_tokens_to_ids(pieces)
 
-    # -- decode ----------------------------------------------------------
+    def _special_ids(self) -> tuple[int, int, int]:
+        c = self._tokenizer.convert_tokens_to_ids
+        return c("[CLS]"), c("[SEP]"), c("[PAD]")
 
-    @staticmethod
-    def _realign(
-        n_words: int,
-        full_word_ids: list[int],
-        sbw_ner: list[str],
-        sbw_mod: list[str],
-        rel_triplets: list[dict],
-    ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:
-        """Subword-level predictions -> word-level, [CLS]/[SEP] stripped.
-
-        ``full_word_ids[i]`` is the word index (0 = [CLS], n_words+1 =
-        [SEP]) of subword position i. NER from each word's FIRST subword
-        (sbwner2ner), modality from its LAST (sbwmod2mod), relation anchors
-        from the LAST subword of the model's entity index lists with the
-        [CLS] offset removed (sbwrel2head, offset=-1).
-        """
-        total = n_words + 2
-        ner = ["O"] * total
-        mod = ["_"] * total
-        seen: set[int] = set()
-        for i, wid in enumerate(full_word_ids):
-            if wid not in seen:
-                seen.add(wid)
-                ner[wid] = sbw_ner[i] if i < len(sbw_ner) else "O"
-            if i < len(sbw_mod):
-                mod[wid] = sbw_mod[i]
-        rels: list[list[str]] = [[] for _ in range(n_words)]
-        heads: list[list[int]] = [[] for _ in range(n_words)]
-        for t in rel_triplets:
-            if t["predicate"] == "N" or not t["subject"] or not t["object"]:
-                continue
-            s_last, o_last = t["subject"][-1], t["object"][-1]
-            if not (0 <= s_last < len(full_word_ids)):
-                continue
-            if not (0 <= o_last < len(full_word_ids)):
-                continue
-            w_tail = full_word_ids[s_last] - 1
-            w_head = full_word_ids[o_last] - 1
-            if 0 <= w_tail < n_words and 0 <= w_head < n_words:
-                if (t["predicate"], w_head) not in zip(rels[w_tail], heads[w_tail]):
-                    rels[w_tail].append(t["predicate"])
-                    heads[w_tail].append(w_head)
-        return ner[1:-1], mod[1:-1], rels, heads
-
-    def annotate_batch(
-        self, batch_tokens: list[list[str]]
-    ) -> list[tuple[list[str], list[str], list[list[str]], list[list[int]]]]:
-        """One Arrow batch of sentences -> per-sentence (ner, mod, rels,
-        heads). Sentences over the encoder limit come back all-O (the T12
-        gate upstream already drops them when subword_vocab is set; this is
-        the defensive backstop)."""
+    def _forward(self, tok_rows, attn_rows, sent_rows):
+        """Batched torch call: (token_ids long, attn_mask bool, sent_mask
+        long) — the reference forward signature (model.py:641-709)."""
         torch = self._torch
-        cls_id = self._tokenizer.convert_tokens_to_ids("[CLS]")
-        sep_id = self._tokenizer.convert_tokens_to_ids("[SEP]")
-        pad_id = self._tokenizer.convert_tokens_to_ids("[PAD]")
-
-        from .subword import document_sent_mask
-
-        encoded = []
-        for tokens in batch_tokens:
-            sbw, word_ids = self._subwords(tokens)
-            if len(sbw) + 2 > MAX_ENCODER_LEN:
-                encoded.append(None)
-                continue
-            ids = [cls_id] + self._tokenizer.convert_tokens_to_ids(sbw) + [sep_id]
-            full_word_ids = (
-                [0] + [w + 1 for w in word_ids] + [len(tokens) + 1]
-            )
-            # B6: alternating token_type_ids flipping at in-band [SEP]
-            # (doc-level trunk mode; all zeros for single-sentence units)
-            smask = document_sent_mask(["[CLS]"] + sbw + ["[SEP]"])
-            encoded.append((ids, full_word_ids, smask))
-        live = [e for e in encoded if e is not None]
-        results: dict[int, tuple] = {}
-        if live:
-            max_len = max(len(ids) for ids, _, _ in live)
-            tok_rows, attn_rows, sent_rows = [], [], []
-            for ids, _, smask in live:
-                pad = max_len - len(ids)
-                tok_rows.append(ids + [pad_id] * pad)
-                attn_rows.append([1] * len(ids) + [0] * pad)
-                sent_rows.append(smask + [0] * pad)
-            toks_t = torch.tensor(tok_rows, dtype=torch.long)
-            attn_t = torch.tensor(attn_rows, dtype=torch.bool)
-            sent_t = torch.tensor(sent_rows, dtype=torch.long)
-            with torch.no_grad():
-                ner_tags, mod_tags, rel_triplets = self._model(
-                    toks_t, attn_t, sent_t
-                )
-            li = 0
-            for bi, e in enumerate(encoded):
-                if e is None:
-                    continue
-                _, full_word_ids, _ = e
-                results[bi] = self._realign(
-                    len(batch_tokens[bi]),
-                    full_word_ids,
-                    list(ner_tags[li]),
-                    list(mod_tags[li]),
-                    list(rel_triplets[li]),
-                )
-                li += 1
-        out = []
-        for bi, tokens in enumerate(batch_tokens):
-            if bi in results:
-                out.append(results[bi])
-            else:
-                n = len(tokens)
-                out.append((["O"] * n, ["_"] * n, [[] for _ in range(n)],
-                            [[] for _ in range(n)]))
-        return out
-
-    def annotate_sentence(
-        self, tokens: list[str]
-    ) -> tuple[list[str], list[str], list[list[str]], list[list[int]]]:
-        return self.annotate_batch([tokens])[0]
+        toks_t = torch.tensor(tok_rows, dtype=torch.long)
+        attn_t = torch.tensor(attn_rows, dtype=torch.bool)
+        sent_t = torch.tensor(sent_rows, dtype=torch.long)
+        with torch.no_grad():
+            return self._model(toks_t, attn_t, sent_t)
 
 
 def save_artifacts(model, tokenizer, vocabs: dict, out_dir: str) -> None:
@@ -308,6 +360,10 @@ def get_extractor(spec: str | None = None) -> "JointExtractor":
             _CACHE[spec] = StandInJointExtractor()
         elif spec.startswith("torch:"):
             _CACHE[spec] = TorchJointExtractor(spec.split(":", 1)[1])
+        elif spec.startswith("numpy:"):
+            from .npmodel import NumpyJointExtractor
+
+            _CACHE[spec] = NumpyJointExtractor(spec.split(":", 1)[1])
         else:
             raise ValueError(f"unknown model spec: {spec!r}")
     return _CACHE[spec]  # type: ignore[return-value]

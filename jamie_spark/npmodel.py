@@ -1,0 +1,487 @@
+"""Numpy-executed joint extractor: real matrix math behind the M1/M2 path.
+
+The torch provider (jamie_spark.models.TorchJointExtractor) is
+environment-gated — this sandbox has no torch wheels — so its full batched
+forward has only ever run against mocks. This module closes that risk with a
+provider that executes the SAME batched path (it subclasses
+``BatchedJointExtractor``: identical WordPiece/de-UNK, [CLS]/[SEP] framing,
+batch-max padding, B6 sentence mask, subword->word realignment and relation
+anchor remapping) but whose ``_forward`` is an actual neural forward in
+numpy — embedding + segment lookup, windowed feed-forward encoder layers with
+ReLU, a masked global max-pool fusion, a CRF emission head decoded with real
+Viterbi, a modality softmax-argmax head, and a bilinear sigmoid multi-head
+selection head (the reference decode algorithms: CRF Viterbi `model.py:641`,
+``selection_decode`` `model.py:728-770`).
+
+Two parts:
+
+* :class:`NumpyJointExtractor` — loads a model dir (``vocab.txt`` +
+  ``weights.npz`` + ``{ner,mod,rel}2ix.json``, the reference sidecar layout of
+  ``clinical_joint.py:443-467`` with the checkpoint as portable npz instead of
+  a torch pickle) and serves ``annotate_sentence``/``annotate_batch``.
+* :func:`compile_fixture_checkpoint` — a weight COMPILER that lowers the
+  stand-in tagger's rule grammar (jamie_spark.standin) into those matrices:
+  dictionary n-gram detection as ReLU-AND units over the token window,
+  longest-match precedence as prefix-inhibition units, modality context rules
+  as window-presence features, DCT detection as global-pool fusion, and the
+  relation pair rules as bilinear selection forms. The compiled checkpoint's
+  pipeline output is value-identical to the stand-in gold on the fixture
+  corpus (pinned by tests/test_npmodel.py) — the analog of the reference
+  model scoring ~1.0 on its own training distribution. Known compiled-grammar
+  approximations, irrelevant on the fixture distribution and documented here
+  for honesty: the t-val->t-key rule links ALL (val, key) pairs rather than
+  nearest-preceding (fixture sentences have exactly one of each), and
+  mixed suspicion+negation windows resolve by priority rather than token
+  order (the fixture grammar never mixes them).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .models import BatchedJointExtractor
+from .subword import UNK, wordpiece
+
+#: bump when the compiled architecture or the rule lowering changes — cached
+#: checkpoint dirs key on this (see __spark_entry__)
+CHECKPOINT_VERSION = "np-standin-1"
+
+
+# ---------------------------------------------------------------------------
+# provider
+# ---------------------------------------------------------------------------
+
+
+class NumpyJointExtractor(BatchedJointExtractor):
+    """``numpy:<model_dir>`` provider — the real-weights execution path that
+    runs in THIS sandbox. Spec'd via ``JAMIE_MODEL=numpy:<dir>`` exactly like
+    the torch provider; per-worker load-once via models.get_extractor."""
+
+    def __init__(self, model_dir: str):
+        with open(os.path.join(model_dir, "vocab.txt")) as fi:
+            self._vocab = [line.rstrip("\n") for line in fi]
+        self._tok_ix = {t: i for i, t in enumerate(self._vocab)}
+        self._w = dict(np.load(os.path.join(model_dir, "weights.npz")))
+        self._labels = {}
+        for name in ("ner2ix", "mod2ix", "rel2ix"):
+            with open(os.path.join(model_dir, f"{name}.json")) as fi:
+                lab2ix = json.load(fi)
+            by_ix = sorted(lab2ix.items(), key=lambda kv: kv[1])
+            self._labels[name] = [lab for lab, _ in by_ix]
+        self.subword_vocab = set(self._vocab)
+
+    # -- BatchedJointExtractor hooks -----------------------------------------
+
+    def _wordpiece(self, token: str) -> list[str]:
+        return wordpiece(token, self.subword_vocab)
+
+    def _piece_ids(self, pieces: list[str]) -> list[int]:
+        unk = self._tok_ix[UNK]
+        return [self._tok_ix.get(p, unk) for p in pieces]
+
+    def _special_ids(self) -> tuple[int, int, int]:
+        return (
+            self._tok_ix["[CLS]"],
+            self._tok_ix["[SEP]"],
+            self._tok_ix["[PAD]"],
+        )
+
+    # -- the numpy forward ---------------------------------------------------
+
+    def _forward(self, tok_rows, attn_rows, sent_rows):
+        w = self._w
+        ids = np.asarray(tok_rows, dtype=np.int64)        # (B, L)
+        attn = np.asarray(attn_rows, dtype=bool)          # (B, L)
+        seg = np.asarray(sent_rows, dtype=np.int64)       # (B, L)
+        B, L = ids.shape
+
+        # embedding + segment lookup (the BERT input composition; the
+        # compiled checkpoint's segment table is zero but the term is live)
+        X = w["emb"][ids] + w["seg"][seg]                 # (B, L, D)
+
+        # windowed stack: concat of the embedding at each relative offset,
+        # zero beyond the frame — the local-context encoder input
+        offsets = [int(d) for d in w["offsets"]]
+        D = X.shape[-1]
+        Xw = np.zeros((B, L, len(offsets) * D))
+        for oi, d in enumerate(offsets):
+            lo_src, hi_src = max(0, d), min(L, L + d)
+            lo_dst, hi_dst = max(0, -d), min(L, L - d)
+            Xw[:, lo_dst:hi_dst, oi * D:(oi + 1) * D] = X[:, lo_src:hi_src]
+        # zero out padded positions' own contribution (they hold [PAD]'s
+        # embedding row, which the compiler keeps zero anyway)
+        H = Xw
+        for k in range(int(w["n_layers"])):
+            H = np.maximum(H @ w[f"W{k}"] + w[f"b{k}"], 0.0)
+
+        # masked global max-pool + fusion (DCT-style whole-unit evidence)
+        pooled = H @ w["wg"]                              # (B, L, G)
+        pooled = np.where(attn[..., None], pooled, -np.inf)
+        g = pooled.max(axis=1)                            # (B, G)
+        g = np.where(np.isfinite(g), g, 0.0)
+        Hg = np.concatenate(
+            [H, np.broadcast_to(g[:, None, :], (B, L, g.shape[-1]))], axis=-1
+        )
+        Hfin = np.maximum(Hg @ w["Wf"] + w["bf"], 0.0)
+
+        ner_em = Hfin @ w["Wner"] + w["bner"]             # (B, L, T)
+        mod_lg = Hfin @ w["Wmod"] + w["bmod"]             # (B, L, M)
+        f = Hfin @ w["Wsel"]                              # (B, L, S)
+
+        ner_labels = self._labels["ner2ix"]
+        mod_labels = self._labels["mod2ix"]
+        rel_labels = self._labels["rel2ix"]
+        trans = w["trans"]
+
+        ner_out, mod_out, rel_out = [], [], []
+        for bi in range(B):
+            live = int(attn[bi].sum())
+            path = _viterbi(ner_em[bi, :live], trans)
+            ner_out.append([ner_labels[t] for t in path])
+            mod_out.append(
+                [mod_labels[t] for t in mod_lg[bi, :live].argmax(axis=-1)]
+            )
+            trips = []
+            fl = f[bi, :live]                             # (live, S)
+            for r, rname in enumerate(rel_labels):
+                if rname == "N":
+                    continue
+                # bilinear pair scores; sigmoid(s) > 0.5 <=> s > 0
+                scores = fl @ w["U"][r] @ fl.T + w["brel"][r]
+                for i, j in zip(*np.nonzero(scores > 0.0)):
+                    trips.append(
+                        {
+                            "subject": [int(i)],
+                            "predicate": rname,
+                            "object": [int(j)],
+                        }
+                    )
+            rel_out.append(trips)
+        return ner_out, mod_out, rel_out
+
+
+def _viterbi(emissions: np.ndarray, trans: np.ndarray) -> list[int]:
+    """Max-sum CRF decode over (L, T) emissions with (T, T) transition
+    scores (trans[prev, next]); deterministic argmax tie-break (lowest
+    index). The reference decodes its NER head with exactly this algorithm
+    (CRF layer, model.py:641 eval path)."""
+    L, T = emissions.shape
+    if L == 0:
+        return []
+    score = emissions[0].copy()
+    back = np.zeros((L, T), dtype=np.int64)
+    for i in range(1, L):
+        cand = score[:, None] + trans + emissions[i][None, :]
+        back[i] = cand.argmax(axis=0)
+        score = cand.max(axis=0)
+    path = [int(score.argmax())]
+    for i in range(L - 1, 0, -1):
+        path.append(int(back[i][path[-1]]))
+    return path[::-1]
+
+
+# ---------------------------------------------------------------------------
+# weight compiler: stand-in rule grammar -> network matrices
+# ---------------------------------------------------------------------------
+
+#: dictionary surfaces deliberately split into multi-subword pieces so the
+#: first/last-subword realignment and relation anchor remapping are exercised
+#: by REAL forward outputs (whole-word vocab would make realign a no-op)
+SPLIT_SURFACE_WORDS = {
+    "肺癌": ["肺", "##癌"],
+    "骨折": ["骨", "##折"],
+    "血糖値": ["血糖", "##値"],
+    "アスピリン": ["アスピ", "##リン"],
+}
+
+_MOD_LABELS = [
+    "_", "positive", "suspicious", "negative", "executed", "scheduled",
+    "DATE", "TIME", "DURATION", "AGE",
+]
+_REL_LABELS = ["N", "region", "timeOnset", "value", "On"]
+
+#: forward context window (subwords) the modality rules inspect — the
+#: stand-in's 6-token window (standin._modality)
+_MOD_WINDOW = 6
+
+
+class _Rows:
+    """Tiny layer builder: named output units over a named input space."""
+
+    def __init__(self, in_names: list[str]):
+        self.in_ix = {n: i for i, n in enumerate(in_names)}
+        self.cols: list[tuple[str, dict[str, float], float]] = []
+
+    def unit(self, name: str, weights: dict[str, float], bias: float = 0.0):
+        self.cols.append((name, weights, bias))
+
+    def carry(self, names: list[str]):
+        for n in names:
+            self.unit(n, {n: 1.0})
+
+    def matrices(self) -> tuple[np.ndarray, np.ndarray, list[str]]:
+        W = np.zeros((len(self.in_ix), len(self.cols)))
+        b = np.zeros(len(self.cols))
+        names = []
+        for ci, (name, weights, bias) in enumerate(self.cols):
+            names.append(name)
+            b[ci] = bias
+            for src, val in weights.items():
+                W[self.in_ix[src], ci] = val
+        return W, b, names
+
+
+def _entity_entries() -> list[tuple[str, str, list[str]]]:
+    """(tag, surface, subword pieces) for every dictionary entry, with the
+    deliberate splits applied."""
+    from . import concepts
+    from .tokenizer import tokenize
+
+    entries = []
+    for surface, tag in concepts.surface_tag_pairs():
+        pieces: list[str] = []
+        for word in tokenize(surface):
+            pieces.extend(SPLIT_SURFACE_WORDS.get(word, [word]))
+        entries.append((tag, surface, pieces))
+    seqs = [tuple(p) for _, _, p in entries]
+    assert len(seqs) == len(set(seqs)), "ambiguous dictionary piece sequences"
+    return entries
+
+
+def _template_tokens() -> set[str]:
+    """All word tokens the fixture template literals can produce."""
+    from . import fixtures
+    from .tokenizer import tokenize
+
+    toks: set[str] = set()
+    for template in fixtures.TEMPLATES:
+        for part in template:
+            if isinstance(part, str) and part not in fixtures._ROLES:
+                toks.update(tokenize(part))
+    return toks
+
+
+def compile_fixture_checkpoint(out_dir: str) -> str:
+    """Lower the stand-in rule grammar into a numpy checkpoint dir.
+
+    Layer plan (all ReLU feed-forward over the window stack):
+      L0  raw dictionary n-gram units u[e,k] ("position is the k-th subword
+          of a match of entry e": one-hot window conjunction, ReLU-AND) and
+          raw context-window presence counts per feature class;
+      L1  prefix-inhibited units u'[e,k] (longest-match precedence: an entry
+          loses to any longer entry whose pieces extend it at the same
+          start) and inverted presence flags inv_c = relu(1 - count_c);
+      L2  per-tag span-final sums and modality condition features
+          (e.g. suspicious = AND(d-final, 疑-in-window) via relu(a+b-1.5));
+      pool g = max over live positions of the TIMEX3-final sum;
+      fuse dft = AND(d-final, g) — the DCT-evidence unit.
+    Heads: BIO emissions (+ real CRF transition constraints), modality
+    logits with rule-priority magnitudes, and bilinear selection forms per
+    relation over [d,a,TIMEX3,key,val,dft]-final features.
+    """
+    from . import concepts
+    from .tokenizer import JASP, tokenize
+
+    entries = _entity_entries()
+    split_whole_words = set(SPLIT_SURFACE_WORDS)
+
+    # -- vocabulary ----------------------------------------------------------
+    vocab = ["[PAD]", UNK, "[CLS]", "[SEP]", JASP]
+    seen = set(vocab)
+    pool: set[str] = set(_template_tokens())
+    for _, _, pieces in entries:
+        pool.update(pieces)
+    for tok in sorted(pool):
+        if tok not in seen and tok not in split_whole_words:
+            vocab.append(tok)
+            seen.add(tok)
+    tok_ix = {t: i for i, t in enumerate(vocab)}
+    vset = set(vocab)
+
+    # compile-time guarantee: the greedy WordPiece of every known word
+    # reproduces the piece sequence the detectors were compiled against
+    for _, surface, pieces in entries:
+        got: list[str] = []
+        for word in tokenize(surface):
+            got.extend(wordpiece(word, vset))
+        assert got == pieces, (surface, got, pieces)
+    for tok in pool - split_whole_words:
+        assert wordpiece(tok, vset) == [tok], tok
+
+    # -- feature token classes (standin._modality context rules) -------------
+    classes = {
+        "susp": [t for t in vocab if "疑" in t],
+        "neg": [
+            t for t in vocab
+            if t.startswith("められない") or t.startswith("ない")
+        ],
+        "sched": [t for t in vocab if "予定" in t],
+    }
+    for cname, toks in classes.items():
+        assert toks, f"feature class {cname} matched no vocab token"
+
+    # -- window ----------------------------------------------------------------
+    max_len = max(len(p) for _, _, p in entries)
+    offsets = list(range(-(max_len - 1), _MOD_WINDOW + 1))
+    off_ix = {d: i for i, d in enumerate(offsets)}
+    V = len(vocab)
+
+    def wname(d: int, tok: str) -> str:
+        return f"win[{d}]:{tok}"
+
+    win_names = [wname(d, t) for d in offsets for t in vocab]
+
+    # -- L0: raw n-gram + presence units --------------------------------------
+    l0 = _Rows(win_names)
+    for eid, (_, _, pieces) in enumerate(entries):
+        for k in range(len(pieces)):
+            l0.unit(
+                f"u[{eid},{k}]",
+                {wname(j - k, p): 1.0 for j, p in enumerate(pieces)},
+                bias=-(len(pieces) - 1),
+            )
+    for cname, toks in classes.items():
+        l0.unit(
+            f"raw_{cname}",
+            {
+                wname(d, t): 1.0
+                for d in range(1, _MOD_WINDOW + 1)
+                for t in toks
+            },
+        )
+    W0, b0, l0_names = l0.matrices()
+
+    # -- L1: prefix inhibition + inverted presence ----------------------------
+    longer_prefix: dict[int, list[int]] = {}
+    for eid, (_, _, pieces) in enumerate(entries):
+        longer_prefix[eid] = [
+            oid
+            for oid, (_, _, op) in enumerate(entries)
+            if len(op) > len(pieces) and op[: len(pieces)] == pieces
+        ]
+    l1 = _Rows(l0_names)
+    for eid, (_, _, pieces) in enumerate(entries):
+        for k in range(len(pieces)):
+            w = {f"u[{eid},{k}]": 1.0}
+            for oid in longer_prefix[eid]:
+                w[f"u[{oid},{k}]"] = -1.0
+            l1.unit(f"v[{eid},{k}]", w)
+    for cname in classes:
+        l1.unit(f"inv_{cname}", {f"raw_{cname}": -1.0}, bias=1.0)
+    W1, b1, l1_names = l1.matrices()
+
+    # -- L2: span-final sums (inputs to the L3 condition features) ------------
+    l2 = _Rows(l1_names)
+    l2.carry(l1_names)
+    tags = ["d", "a", "r", "TIMEX3", "t-key", "t-val"]
+    for tag in tags:
+        l2.unit(
+            f"last_{tag}",
+            {
+                f"v[{eid},{len(pieces) - 1}]": 1.0
+                for eid, (etag, _, pieces) in enumerate(entries)
+                if etag == tag
+            },
+        )
+    W2, b2, l2_names = l2.matrices()
+
+    # -- L3: modality condition features --------------------------------------
+    # AND(a, b) for a, b in {0,1}: relu(a + b - 1.5) = 0.5 on fire;
+    # AND(a, count>=1) via the inverted flag: relu(a - inv - 0.5)
+    l3 = _Rows(l2_names)
+    l3.carry([n for n in l2_names if not n.startswith("inv_")])
+    l3.unit("feat_susp", {"last_d": 1.0, "inv_susp": -1.0}, bias=-0.5)
+    l3.unit("feat_neg", {"last_d": 1.0, "inv_neg": -1.0}, bias=-0.5)
+    l3.unit("feat_sched", {"last_r": 1.0, "inv_sched": -1.0}, bias=-0.5)
+    W3, b3, l3_names = l3.matrices()
+
+    # -- pool + fusion ---------------------------------------------------------
+    l3_ix = {n: i for i, n in enumerate(l3_names)}
+    wg = np.zeros((len(l3_names), 1))
+    wg[l3_ix["last_TIMEX3"], 0] = 1.0
+
+    fuse = _Rows(l3_names + ["g0"])
+    fuse.carry(l3_names)
+    fuse.unit("dft", {"last_d": 1.0, "g0": 1.0}, bias=-1.5)
+    Wf, bf, fin_names = fuse.matrices()
+    fin_ix = {n: i for i, n in enumerate(fin_names)}
+
+    # -- heads -----------------------------------------------------------------
+    ner_labels = ["O"] + [f"{p}-{t}" for t in tags for p in ("B", "I")]
+    ner_ix = {t: i for i, t in enumerate(ner_labels)}
+    Wner = np.zeros((len(fin_names), len(ner_labels)))
+    bner = np.zeros(len(ner_labels))
+    bner[ner_ix["O"]] = 1.0
+    for eid, (tag, _, pieces) in enumerate(entries):
+        for k in range(len(pieces)):
+            lab = f"B-{tag}" if k == 0 else f"I-{tag}"
+            Wner[fin_ix[f"v[{eid},{k}]"], ner_ix[lab]] += 10.0
+    # real CRF transition constraints: I-X reachable only from B-X / I-X
+    trans = np.zeros((len(ner_labels), len(ner_labels)))
+    for nxt, lab in enumerate(ner_labels):
+        if lab.startswith("I-"):
+            tag = lab[2:]
+            for prv, plab in enumerate(ner_labels):
+                if plab not in (f"B-{tag}", f"I-{tag}"):
+                    trans[prv, nxt] = -1e4
+
+    mod_ix = {m: i for i, m in enumerate(_MOD_LABELS)}
+    Wmod = np.zeros((len(fin_names), len(_MOD_LABELS)))
+    bmod = np.zeros(len(_MOD_LABELS))
+    bmod[mod_ix["_"]] = 1.0
+    # rule priority by magnitude: suspicious > negative > positive;
+    # scheduled > executed (the stand-in's decision order)
+    Wmod[fin_ix["feat_susp"], mod_ix["suspicious"]] = 80.0   # 0.5 -> 40
+    Wmod[fin_ix["feat_neg"], mod_ix["negative"]] = 40.0      # 0.5 -> 20
+    Wmod[fin_ix["last_d"], mod_ix["positive"]] = 10.0
+    Wmod[fin_ix["feat_sched"], mod_ix["scheduled"]] = 80.0
+    Wmod[fin_ix["last_r"], mod_ix["executed"]] = 10.0
+    for eid, (tag, surface, pieces) in enumerate(entries):
+        if tag == "TIMEX3":
+            ttype = dict(concepts.TIMES).get(surface, "DATE")
+            Wmod[fin_ix[f"v[{eid},{len(pieces) - 1}]"], mod_ix[ttype]] = 10.0
+
+    sel_feats = ["last_d", "last_a", "last_TIMEX3", "last_t-key",
+                 "last_t-val", "dft"]
+    Wsel = np.zeros((len(fin_names), len(sel_feats)))
+    for si, n in enumerate(sel_feats):
+        Wsel[fin_ix[n], si] = 1.0
+    sf = {n: i for i, n in enumerate(sel_feats)}
+    U = np.zeros((len(_REL_LABELS), len(sel_feats), len(sel_feats)))
+    brel = np.full(len(_REL_LABELS), -10.0)
+    rel_ix = {r: i for i, r in enumerate(_REL_LABELS)}
+    U[rel_ix["region"], sf["last_d"], sf["last_a"]] = 20.0
+    U[rel_ix["timeOnset"], sf["last_d"], sf["last_TIMEX3"]] = 20.0
+    U[rel_ix["value"], sf["last_t-val"], sf["last_t-key"]] = 20.0
+    U[rel_ix["On"], sf["last_d"], sf["dft"]] = 40.0          # dft fires at 0.5
+
+    # -- persist ---------------------------------------------------------------
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "vocab.txt"), "w") as fo:
+        fo.write("\n".join(vocab) + "\n")
+    emb = np.eye(V)
+    emb[tok_ix["[PAD]"]] = 0.0
+    np.savez(
+        os.path.join(out_dir, "weights.npz"),
+        emb=emb,
+        seg=np.zeros((2, V)),
+        offsets=np.asarray(offsets, dtype=np.int64),
+        n_layers=np.asarray(4),
+        W0=W0, b0=b0, W1=W1, b1=b1, W2=W2, b2=b2, W3=W3, b3=b3,
+        wg=wg, Wf=Wf, bf=bf,
+        Wner=Wner, bner=bner, trans=trans,
+        Wmod=Wmod, bmod=bmod,
+        Wsel=Wsel, U=U, brel=brel,
+    )
+    sidecars = {
+        "ner2ix": ner_ix,
+        "mod2ix": mod_ix,
+        "rel2ix": rel_ix,
+    }
+    for name, lab2ix in sidecars.items():
+        with open(os.path.join(out_dir, f"{name}.json"), "w") as fo:
+            json.dump(lab2ix, fo)
+    return out_dir

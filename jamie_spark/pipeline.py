@@ -38,6 +38,7 @@ def run_kg(
     lang: str = "ja",
     checkpoint_dir: str | None = None,
     mode: str = "sentence",
+    model_spec: str | None = None,
 ) -> dict:
     """Full knowledge-graph construction; returns all intermediate tables.
 
@@ -52,18 +53,26 @@ def run_kg(
     the per-stage Iceberg checkpoint (N6), and ~3x cheaper than Spark's
     columnar in-memory cache for this row volume (measured: 17s write+reread
     vs 54s persist at 9.4M rows). Without a dir it falls back to persist().
+
+    ``model_spec`` selects the extractor provider (``standin`` default,
+    ``numpy:<dir>``, ``torch:<dir>``) — resolved driver-side and shipped by
+    closure, same contract as infer.annotate_pages_flat.
     """
     from .concepts import TAG2NAME
 
     if checkpoint_dir is not None:
         spark = pages.sparkSession
         path = os.path.join(checkpoint_dir, "flat_annotations.parquet")
-        infer.annotate_pages_flat(pages, lang=lang, mode=mode).write.mode(
+        infer.annotate_pages_flat(
+            pages, lang=lang, mode=mode, model_spec=model_spec
+        ).write.mode(
             "overwrite"
         ).parquet(path)
         flat = spark.read.parquet(path)
     else:
-        flat = infer.annotate_pages_flat(pages, lang=lang, mode=mode).persist()
+        flat = infer.annotate_pages_flat(
+            pages, lang=lang, mode=mode, model_spec=model_spec
+        ).persist()
     ext = {
         "annotations": flat,
         "mentions": mentions_mod.mentions_from_flat(flat),
