@@ -905,6 +905,20 @@ def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear quantile sketch (textstats.approx_percentiles):
+    the approx_percentile/t-digest SCALE path beside the exact `percentiles`
+    contract (VERDICT r03 #3). Buckets are pure integer arithmetic (octave =
+    len(bin(tick))-1, linear sub-buckets by shift+div), so the sketch — like
+    the md5-HLL — is engine-exact and value-oracles despite being an
+    approximation; merging = summing bucket counts (order-free, the
+    1000-executor fold shape). Relative error <= 1/QS_K (~3.1%), gated vs
+    the exact empirical quantile in tests/test_textstats.py."""
+    return textstats.approx_percentiles(
+        _read(spark, sf_dir, "events"), "value", ("event_type",)
+    )
+
+
 def _asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union + last-non-null window, single shuffle, no
     theta-join): every click gets the latest preceding purchase value per
@@ -1058,13 +1072,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_indexed": _search_bm25_indexed,
         "sample_events": _sample_events,
         "percentiles": _percentiles,
+        "approx_percentiles": _approx_percentiles,
         "approx_distinct_hll": _approx_distinct,
         "q3_shipping_topk": _q3_shipping_topk,
         "q5_regional_revenue": _q5_regional_revenue,
-        # training-data ops
-        "token_counts": _token_counts,
         # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
+        # training-data ops
+        "token_counts": _token_counts,
         "token_counts_bpe": _token_counts_bpe,
         "text_quality": _quality,
         "lang_id": _lang_id,
@@ -1085,6 +1100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: document-frequency cap for n-gram Jaccard (textstats.ngram_jaccard_pairs):
 #: single source of truth for the Spark entry AND its DuckDB oracle
 _NGRAM_MAX_DF = 100
+
+#: quantile-sketch geometry (textstats.quantile_sketch): shared by the Spark
+#: entry and the DuckDB oracle so both derive identical bucket ids
+_QS_K = textstats.QS_K
+_QS_SCALE = textstats.QS_SCALE
 
 _SHINGLES_CTE = """
 shingles AS (
@@ -2233,6 +2253,50 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.9), 4) AS p90,
        ROUND(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type
+""",
+        "approx_percentiles": f"""
+WITH t AS (
+  SELECT event_type, CAST(FLOOR(value * {_QS_SCALE}) AS BIGINT) AS t
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN t <= 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(LENGTH(bin(t)) - 1 AS BIGINT) * {_QS_K}
+                   + ((t - (CAST(1 AS BIGINT) << (LENGTH(bin(t)) - 1)))
+                      * {_QS_K})
+                     // (CAST(1 AS BIGINT) << (LENGTH(bin(t)) - 1))
+         END AS bucket
+  FROM t
+),
+s AS (SELECT event_type, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS total
+  FROM s
+),
+pick AS (
+  SELECT event_type, q, MIN(bucket) AS bucket
+  FROM c CROSS JOIN (VALUES (0.5), (0.9), (0.99)) qs(q)
+  WHERE cum >= CEIL(q * total)
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT event_type, q,
+         ROUND(CASE WHEN bucket < 0 THEN 0.0
+              ELSE CAST((CAST(1 AS BIGINT) << CAST(bucket // {_QS_K} AS INT))
+                   + ((bucket % {_QS_K})
+                      * (CAST(1 AS BIGINT) << CAST(bucket // {_QS_K} AS INT)))
+                     // {_QS_K}
+                   AS DOUBLE) / {_QS_SCALE} END, 4) AS est
+  FROM pick
+)
+SELECT event_type,
+       MAX(CASE WHEN q = 0.5 THEN est END) AS p50,
+       MAX(CASE WHEN q = 0.9 THEN est END) AS p90,
+       MAX(CASE WHEN q = 0.99 THEN est END) AS p99
+FROM est GROUP BY event_type
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

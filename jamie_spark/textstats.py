@@ -637,6 +637,130 @@ def approx_distinct(df: "DataFrame", col: str, p: int = 9) -> "DataFrame":
     )
 
 
+#: log-linear quantile sketch defaults: K_SUB sub-buckets per power-of-two
+#: octave bounds relative error at 1/K_SUB; SCALE fixes the tick (absolute
+#: floor) at 1/SCALE. Shared by the Spark entry and its DuckDB oracle.
+QS_K = 32
+QS_SCALE = 100
+
+
+def quantile_sketch(
+    df: "DataFrame",
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = QS_K,
+    scale: int = QS_SCALE,
+) -> "DataFrame":
+    """(group..., bucket, c) — mergeable log-linear quantile sketch,
+    ENGINE-EXACT (the t-digest/approx_percentile scale path next to the
+    exact `percentiles` contract).
+
+    Spark's ``approx_percentile`` t-digest is the production default at
+    100 TB, but — like approx_count_distinct — its sketch is engine-private
+    and cannot be value-checked. This twin is a DDSketch-style log-linear
+    histogram built from INTEGER arithmetic only, so DuckDB reproduces every
+    bucket id bit-for-bit:
+
+      tick   t = floor(value * scale)      (same double multiply+floor both
+                                            engines; ticks are exact ints)
+      octave e = len(bin(t)) - 1           (floor(log2) WITHOUT float log —
+                                            binary-string length)
+      sub    s = ((t - 2^e) * k) div 2^e   (k linear sub-buckets per octave,
+                                            shift + integer div)
+      bucket = e * k + s ; t <= 0 -> -1
+
+    Bucket width is 2^e/k ticks, so the representative (bucket lower bound)
+    under-estimates the true ranked value by a RELATIVE error <= 1/k plus
+    one tick. Merging sketches = summing counts per bucket — associative
+    and order-free, the property that lets 1000 executors sketch partitions
+    independently and a reducer fold them without a second data pass. One
+    map-side-combined hash aggregation over <= ~64*k cells per group.
+    """
+    t = F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
+    d = df.select(*group_cols, t.alias("_t"))
+    e = (F.length(F.bin(F.col("_t"))) - 1).cast("int")
+    d = d.withColumn("_e", e).withColumn(
+        "_p", F.expr("shiftleft(1L, _e)")
+    )
+    bucket = (
+        F.when(F.col("_t") <= 0, F.lit(-1).cast("long"))
+        .otherwise(
+            F.col("_e").cast("long") * k
+            + F.expr(f"((_t - _p) * {k}) DIV _p")
+        )
+        .alias("bucket")
+    )
+    return (
+        d.select(*group_cols, bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def sketch_value(bucket_col: str, k: int = QS_K, scale: int = QS_SCALE):
+    """Bucket id -> representative value (the bucket's LOWER bound in tick
+    space, back on the value scale). Integer shift + floor-div only —
+    oracle-reproducible bit-for-bit."""
+    p = f"shiftleft(1L, int({bucket_col} DIV {k}))"
+    tick = f"{p} + (({bucket_col} % {k}) * {p}) DIV {k}"
+    return F.expr(
+        f"CASE WHEN {bucket_col} < 0 THEN 0.0D"
+        f" ELSE CAST({tick} AS DOUBLE) / {scale} END"
+    )
+
+
+def approx_percentiles(
+    df: "DataFrame",
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = QS_K,
+    scale: int = QS_SCALE,
+) -> "DataFrame":
+    """(group..., p50, p90, p99) — quantile estimates from the mergeable
+    sketch: cumulative counts in bucket order, first bucket whose cumsum
+    reaches ceil(q * n), reported as the bucket's lower-bound value. The
+    estimate is a deterministic UNDER-estimate of the empirical (lower)
+    quantile by at most a 1/k relative error + one tick (gated in tests)."""
+    sk = quantile_sketch(df, value_col, group_cols, k=k, scale=scale)
+    w_cum = (
+        Window.partitionBy(*group_cols).orderBy("bucket")
+        if group_cols
+        else Window.orderBy("bucket")
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = sk.select(
+        *group_cols,
+        "bucket",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    qs = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(q) for q in quantiles]))
+    )
+    pick = (
+        qs.where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = pick.select(
+        *group_cols,
+        "q",
+        F.round(sketch_value("bucket", k=k, scale=scale), 4).alias("est"),
+    )
+    aggs = [
+        F.max(F.when(F.col("q") == q, F.col("est"))).alias(
+            f"p{int(round(q * 100))}"
+        )
+        for q in quantiles
+    ]
+    return est.groupBy(*group_cols).agg(*aggs)
+
+
 def sample_hash(
     df: "DataFrame",
     id_cols: tuple[str, ...],

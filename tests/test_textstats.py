@@ -183,3 +183,63 @@ def test_approx_distinct_accuracy_and_determinism(spark):
     nulls = spark.createDataFrame([(None,)], "v string")
     r = textstats.approx_distinct(nulls, "v").first()
     assert r["v_empty"] == r["m"] and r["estimate"] == 0.0
+
+
+def test_quantile_sketch_merge_property(spark):
+    """The 1000-executor contract: sketching two halves independently and
+    summing bucket counts must equal sketching the union in one pass —
+    associative, order-free merge (what lets a reducer fold partial
+    sketches without a second data pass)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 3, 0.01 + (i * 7919 % 5000) / 13.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, value double")
+    a, b = df.where("value < 180"), df.where("value >= 180")
+    whole = textstats.quantile_sketch(df, "value", ("g",))
+    merged = (
+        textstats.quantile_sketch(a, "value", ("g",))
+        .unionByName(textstats.quantile_sketch(b, "value", ("g",)))
+        .groupBy("g", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_approx_percentiles_error_bound(spark):
+    """The estimate is the bucket LOWER bound, so it must not exceed the
+    exact empirical (lower) quantile, and must be within the documented
+    relative error 1/QS_K plus one tick below it."""
+    import math
+
+    rows = [(i % 2, 0.01 + (i * 104729 % 90000) / 37.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g int, value double")
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in textstats.approx_percentiles(df, "value", ("g",)).collect()
+    }
+    by_g = {0: [], 1: []}
+    for g, v in rows:
+        by_g[g].append(v)
+    tick = 1.0 / textstats.QS_SCALE
+    rel = 1.0 / textstats.QS_K
+    for g, vals in by_g.items():
+        vals.sort()
+        for qi, q in enumerate((0.5, 0.9, 0.99)):
+            exact = vals[math.ceil(q * len(vals)) - 1]
+            est = got[g][qi]
+            assert est <= exact + 1e-9, (g, q, est, exact)
+            assert exact <= est * (1 + rel) + tick + 1e-9, (g, q, est, exact)
+
+
+def test_approx_percentiles_zero_and_small_values(spark):
+    """Zeros land in the reserved -1 bucket and report 0.0; sub-tick values
+    floor to tick 0 as well — no log-of-zero edge."""
+    df = spark.createDataFrame(
+        [(0, 0.0)] * 60 + [(0, 0.004)] * 30 + [(0, 512.0)] * 10,
+        "g int, value double",
+    )
+    row = textstats.approx_percentiles(df, "value", ("g",)).collect()[0]
+    assert row["p50"] == 0.0  # 90% of rows are sub-tick
+    assert row["p99"] > 400
