@@ -125,6 +125,137 @@ def stream_kg(
     )
 
 
+# --- incremental near-dup ingest (N7 composed with the signature store) ----
+
+#: near-dup threshold for the ingest loop: estimated Jaccard (MinHash
+#: agreement fraction) at or above this drops the page as a re-crawl/mirror
+STREAM_DEDUP_MIN_AGREE = 0.5
+#: shingle unit for page text: CHARACTER n-grams — the crawl is Japanese
+#: web text with no spaces, where word shingles would be empty
+#: (textstats.char_shingles)
+STREAM_SHINGLE_UNIT = "char"
+STREAM_SHINGLE_N = 8
+
+
+def _page_doc_ids(pages: "DataFrame") -> "DataFrame":
+    """Pages + a stable 60-bit integer doc_id derived from the url (md5
+    prefix — engine-portable like every other hash in the repo). The
+    signature store keys on doc_id, pages key on url; this is the bridge."""
+    return pages.withColumn(
+        "doc_id",
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def _prior_signatures(
+    spark: "SparkSession", store_dir: str, batch_id: int
+) -> "DataFrame | None":
+    """Signature partitions of batches STRICTLY BEFORE ``batch_id`` — the
+    replay-safety core: a re-run micro-batch must never dedup against its
+    own committed signatures (that would drop every page of the replay and
+    break idempotence). Returns None when no prior batch exists."""
+    import glob
+
+    dirs = [
+        d
+        for d in glob.glob(os.path.join(store_dir, "batch=*"))
+        if int(d.rsplit("=", 1)[1]) < batch_id
+    ]
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", store_dir)
+        .parquet(*dirs)
+        .drop("batch")
+    )
+
+
+def process_kg_dedup_batch(
+    batch_df: "DataFrame",
+    batch_id: int,
+    concept_dict: "DataFrame",
+    out_dir: str,
+    store_dir: str,
+    min_agree: float = STREAM_DEDUP_MIN_AGREE,
+) -> None:
+    """One micro-batch of the PRODUCTION ingest shape: near-dup the incoming
+    crawl against all history via the persisted MinHash signature store,
+    extract triples only from the survivors, then commit the survivors'
+    signatures — history is shingled exactly once, at its own ingest.
+
+    Idempotence on replay (the at-least-once contract of foreachBatch):
+    both sinks are batch-keyed overwrites (triples to
+    ``out_dir/batch={id}``, signatures to ``store_dir/batch={id}``) and the
+    dedup reads only PRIOR batches' signatures, so a replay recomputes the
+    identical survivor set and overwrites both partitions byte-for-byte.
+    Cost per batch is O(batch + matched store rows): the store's bands are
+    semi-joined down to the batch's band keys before any window
+    (textstats.dedup_against_signatures).
+    """
+    from . import textstats
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    pages = _page_doc_ids(batch_df).persist()
+    docs = pages.select("doc_id", "text")
+    prior = _prior_signatures(spark, store_dir, batch_id)
+    if prior is not None:
+        dups = (
+            textstats.dedup_against_signatures(
+                docs, prior, n=STREAM_SHINGLE_N, min_agree=min_agree,
+                unit=STREAM_SHINGLE_UNIT,
+            )
+            .select(F.col("new_doc_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = pages.join(dups, "doc_id", "left_anti")
+    else:
+        survivors = pages
+    process_kg_batch(
+        survivors.drop("doc_id"), batch_id, concept_dict, out_dir
+    )
+    # commit step: survivors' signatures become history for batch_id + 1
+    textstats.write_signature_store(
+        survivors.select("doc_id", "text"),
+        os.path.join(store_dir, f"batch={batch_id}"),
+        mode="overwrite",
+        n=STREAM_SHINGLE_N,
+        unit=STREAM_SHINGLE_UNIT,
+    )
+    pages.unpersist()
+
+
+def stream_kg_dedup(
+    pages_stream: "DataFrame",
+    concept_dict: "DataFrame",
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    min_agree: float = STREAM_DEDUP_MIN_AGREE,
+) -> "StreamingQuery":
+    """:func:`stream_kg` composed with incremental near-dup dedup: each
+    crawl micro-batch drops near-duplicates of EVERYTHING already ingested
+    (via the persisted signature store) before paying the extractor, and
+    admits its survivors to the store for the batches after it. Exact
+    within-horizon duplicates are cheaper still — compose
+    :func:`dedup_stream` upstream for those; this loop is the unbounded-
+    history tier the watermark cannot cover."""
+
+    def process(batch_df: "DataFrame", batch_id: int) -> None:
+        process_kg_dedup_batch(
+            batch_df, batch_id, concept_dict, out_dir, store_dir,
+            min_agree=min_agree,
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_GAP_SEC = 1800
 
 

@@ -256,10 +256,39 @@ N_MINHASHES = 8
 N_MINHASH_BANDS = 4  # 2 rows per band
 
 
-def _minhash_sig_table(docs: "DataFrame", n: int = 3) -> "DataFrame":
+def char_shingles(docs: "DataFrame", n: int = 8) -> "DataFrame":
+    """(doc_id, shingle) — distinct character n-grams. The CJK-ready shingle
+    unit: Japanese/Chinese web text has no spaces for word shingles (a
+    word-shingled signature of an unsegmented CJK document is EMPTY — the
+    whole text is one "word"), and char n-grams are the standard dedup unit
+    there. Same JVM-only shape as the word variant: one transform over a
+    sequence, explode, distinct."""
+    return (
+        docs.where(F.length("text") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {n - 1}),"
+                    f" i -> substring(text, i, {n}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def _minhash_sig_table(
+    docs: "DataFrame", n: int = 3, unit: str = "word"
+) -> "DataFrame":
     """(doc_id, mh0..mh{N_MINHASHES-1}) — the full md5-MinHash signature row
-    per document: the unit the incremental signature store persists."""
-    sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    per document: the unit the incremental signature store persists.
+    ``unit="word"`` shingles on word n-grams (space-tokenized corpora);
+    ``unit="char"`` on character n-grams (CJK / unsegmented text)."""
+    if unit == "char":
+        sh = char_shingles(docs, n)
+    else:
+        sh = shingles(docs, n).select("doc_id", "shingle").distinct()
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
         for k in range(N_MINHASHES)
@@ -294,7 +323,11 @@ def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
 
 
 def write_signature_store(
-    docs: "DataFrame", path: str, n: int = 3, mode: str = "overwrite"
+    docs: "DataFrame",
+    path: str,
+    n: int = 3,
+    mode: str = "overwrite",
+    unit: str = "word",
 ) -> None:
     """Persist the MinHash signature table — the STATE of incremental dedup.
 
@@ -304,7 +337,7 @@ def write_signature_store(
     batch after it has been deduped (write_signature_store(new_batch, path,
     mode="append") is the commit step of the ingest loop).
     """
-    _minhash_sig_table(docs, n).write.mode(mode).parquet(path)
+    _minhash_sig_table(docs, n, unit=unit).write.mode(mode).parquet(path)
 
 
 def dedup_incremental(
@@ -313,6 +346,7 @@ def dedup_incremental(
     n: int = 3,
     min_agree: float = 0.25,
     max_bucket: int | None = None,
+    unit: str = "word",
 ) -> "DataFrame":
     """(new_doc_id, stored_doc_id, est_jaccard) — near-dups of a NEW batch
     against the persisted signature store: the production ingest shape
@@ -330,11 +364,32 @@ def dedup_incremental(
     history. Exact verification of survivors, when needed, re-reads only
     the matched docs' texts.
     """
+    spark = new_docs.sparkSession
+    return dedup_against_signatures(
+        new_docs,
+        spark.read.parquet(store_path),
+        n=n,
+        min_agree=min_agree,
+        max_bucket=max_bucket,
+        unit=unit,
+    )
+
+
+def dedup_against_signatures(
+    new_docs: "DataFrame",
+    store_sig: "DataFrame",
+    n: int = 3,
+    min_agree: float = 0.25,
+    max_bucket: int | None = None,
+    unit: str = "word",
+) -> "DataFrame":
+    """Core of :func:`dedup_incremental` over an explicit signature FRAME —
+    the composition point for callers that assemble the store themselves
+    (the streaming ingest loop reads only the partitions of PRIOR batches,
+    so a replayed micro-batch never dedups against its own signatures)."""
     if max_bucket is None:
         max_bucket = MAX_BAND_BUCKET
-    spark = new_docs.sparkSession
-    store_sig = spark.read.parquet(store_path)
-    new_sig = _minhash_sig_table(new_docs, n)
+    new_sig = _minhash_sig_table(new_docs, n, unit=unit)
     new_bands = _bands_of(new_sig).select(
         F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
     )

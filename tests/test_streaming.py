@@ -291,3 +291,108 @@ def test_dedup_stream_drops_recrawled_pages(spark, tmp_path):
     assert got == expected
     n_emitted = spark.sql("SELECT count(*) FROM dedup_stream_t").first()[0]
     assert n_emitted == len(expected)  # exactly one survivor per content
+
+
+def test_stream_kg_dedup_drops_history_near_dups(spark, tmp_path):
+    """The production ingest shape (N7 + incremental dedup composed): batch
+    N+1 must drop near-duplicates of batch N via the persisted signature
+    store — history is consulted through signatures only, never re-read —
+    while fresh pages flow through to the extractor."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "sigstore")
+    concepts = fixtures.concept_df(spark)
+
+    batch_a = fixtures.pages_df(spark, 20, seed=1)
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    q = streaming.stream_kg_dedup(
+        streaming.read_page_stream(spark, src, max_files_per_trigger=64),
+        concepts, out, ckpt, store,
+    )
+    q.awaitTermination(300)
+    out_a = streaming.read_stream_output(spark, out)
+    assert out_a.count() > 0
+    assert set(r["batch"] for r in out_a.select("batch").distinct().collect()) == {0}
+
+    # batch B: 8 mirrors of batch-A pages (same text, different url — the
+    # re-crawl/mirror case) + genuinely fresh pages
+    mirrors = batch_a.limit(8).withColumn(
+        "url", F.concat(F.lit("https://mirror.test/"), F.col("url"))
+    )
+    fresh = fixtures.pages_df(spark, 12, seed=99).withColumn(
+        "url", F.concat(F.lit("https://fresh.test/"), F.col("url"))
+    )
+    # keep only fresh pages that are NOT near-dups of batch A (the fixture
+    # grammar can instantiate genuinely similar docs across seeds; those
+    # are true positives for the dedup, not fresh content)
+    from jamie_spark import textstats
+
+    fresh_docs = streaming._page_doc_ids(fresh).select("doc_id", "text")
+    hist = spark.read.option("basePath", store).parquet(store + "/batch=0")
+    collide = (
+        textstats.dedup_against_signatures(
+            fresh_docs, hist.drop("batch"),
+            n=streaming.STREAM_SHINGLE_N,
+            min_agree=streaming.STREAM_DEDUP_MIN_AGREE,
+            unit=streaming.STREAM_SHINGLE_UNIT,
+        )
+        .select(F.col("new_doc_id").alias("doc_id"))
+        .distinct()
+    )
+    fresh = (
+        streaming._page_doc_ids(fresh)
+        .join(collide, "doc_id", "left_anti")
+        .drop("doc_id")
+    )
+    n_fresh = fresh.count()
+    assert n_fresh > 0
+    mirrors.unionByName(fresh).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming.stream_kg_dedup(
+        streaming.read_page_stream(spark, src, max_files_per_trigger=64),
+        concepts, out, ckpt, store,
+    )
+    q.awaitTermination(300)
+
+    out_b = streaming.read_stream_output(spark, out).where("batch = 1")
+    urls_b = {r["url"] for r in out_b.select("url").distinct().collect()}
+    assert urls_b, "fresh pages must produce triples"
+    assert all(u.startswith("https://fresh.test/") for u in urls_b), urls_b
+    # the mirrors never reached the extractor OR the store
+    sig_b = spark.read.parquet(store + "/batch=1")
+    fresh_ids = {
+        r["doc_id"]
+        for r in streaming._page_doc_ids(fresh).select("doc_id").collect()
+    }
+    assert {r["doc_id"] for r in sig_b.select("doc_id").collect()} <= fresh_ids
+
+
+def test_process_kg_dedup_batch_replay_idempotent(spark, tmp_path):
+    """A replayed dedup micro-batch (same batch_id) must not dedup against
+    its OWN committed signatures: both sinks are batch-keyed overwrites and
+    the store read covers strictly-prior batches, so the replay reproduces
+    identical survivors, triples and signatures."""
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "sigstore")
+    concepts = fixtures.concept_df(spark)
+
+    batch = fixtures.pages_df(spark, 15, seed=3)
+    streaming.process_kg_dedup_batch(batch, 0, concepts, out, store)
+    rows1 = sorted(
+        map(tuple, streaming.read_stream_output(spark, out).collect())
+    )
+    sig1 = sorted(
+        map(tuple, spark.read.parquet(store + "/batch=0").collect())
+    )
+    assert rows1 and sig1
+    # pre-commit crash -> foreachBatch replays batch 0
+    streaming.process_kg_dedup_batch(batch, 0, concepts, out, store)
+    rows2 = sorted(
+        map(tuple, streaming.read_stream_output(spark, out).collect())
+    )
+    sig2 = sorted(
+        map(tuple, spark.read.parquet(store + "/batch=0").collect())
+    )
+    assert rows2 == rows1
+    assert sig2 == sig1
