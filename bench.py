@@ -149,6 +149,9 @@ def main() -> None:
         "kg_communities",
         "kg_kcore",
         "kg_entity_sim",
+        "kg_entity_sim_zipf",
+        "kg_pipeline_triples_numpy",
+        "approx_percentiles",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",
@@ -229,6 +232,15 @@ def main() -> None:
         t = time.perf_counter()
         kgstats.pagerank_fixed(gedges, iters=3).count()
         timings["graph_stress_pagerank"] = round(time.perf_counter() - t, 3)
+        # LPA + k-core under the same hubs (VERDICT r03 #5): both are
+        # peel/propagate loops whose per-round shuffle volume under a
+        # power-law degree distribution is the open scale question
+        t = time.perf_counter()
+        kgstats.label_propagation(gedges, iters=3).count()
+        timings["graph_stress_lpa"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        kgstats.kcore(gedges, k=3, iters=3).count()
+        timings["graph_stress_kcore"] = round(time.perf_counter() - t, 3)
         max_oriented = (
             kgstats.orient(gedges)
             .groupBy("lo")
@@ -237,7 +249,8 @@ def main() -> None:
             .first()[0]
         )
         gedges.unpersist()
-        for k in ("graph_stress_triangles", "graph_stress_pagerank"):
+        for k in ("graph_stress_triangles", "graph_stress_pagerank",
+                  "graph_stress_lpa", "graph_stress_kcore"):
             spread[k] = [timings[k], timings[k]]
         stress.update(
             {

@@ -422,6 +422,32 @@ def concept_df(spark):
     )
 
 
+def zipf_edges_md5_df(spark, n_edges: int = 5000, n_nodes: int = 10000):
+    """Engine-PORTABLE power-law edge fixture (src, dst): endpoint node id =
+    ``n_nodes DIV (1 + h % n_nodes)`` with h a 32-bit md5 prefix — the
+    harmonic floor map sends a uniform draw u to node s with probability
+    ~1/(s(s+1)), i.e. node N1 takes ~half of all endpoint mass and the tail
+    decays as a true power law. Pure integer arithmetic over md5, so DuckDB
+    reproduces the edge set bit-for-bit (zipf_edges_df's xxhash64 draw is
+    engine-private — fine for bench stress, unusable for value oracles)."""
+
+    def node(salt: str) -> str:
+        h = (
+            f"cast(conv(substring(md5(concat('{salt}',"
+            f" cast(id as string))), 1, 8), 16, 10) as bigint)"
+        )
+        return (
+            f"concat('N', cast({n_nodes} div (1 + pmod({h}, {n_nodes}))"
+            f" as string))"
+        )
+
+    from pyspark.sql import functions as SF
+
+    return spark.range(0, n_edges).select(
+        SF.expr(node("a")).alias("src"), SF.expr(node("b")).alias("dst")
+    )
+
+
 def zipf_edges_df(
     spark,
     n_edges: int,

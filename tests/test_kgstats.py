@@ -361,3 +361,23 @@ def test_common_passages_stride_alignment(spark):
         _docs_df(spark, ["a b c d e f", "a b c d e f"]), k=3, stride=2, min_docs=2
     ).collect()
     assert sorted(r["passage"] for r in out) == ["a b c", "c d e"]
+
+
+def test_entity_sim_threshold_prunes_on_power_law(spark):
+    """The selective-threshold regime (VERDICT r03 #7): on the md5 Zipf
+    fixture (hub N1 ~ half the endpoint mass) the registered threshold must
+    prune the wedge output several-fold — the word-graph entry can't show
+    this because its graph is near-complete."""
+    from jamie_spark import fixtures
+
+    edges = fixtures.zipf_edges_md5_df(spark, 5000, 10000).cache()
+    try:
+        all_pairs = kgstats.neighbor_jaccard(
+            edges, min_shared=2, threshold=0.0
+        ).count()
+        pruned = kgstats.neighbor_jaccard(
+            edges, min_shared=2, threshold=0.5
+        ).count()
+    finally:
+        edges.unpersist()
+    assert 0 < pruned < all_pairs / 3, (pruned, all_pairs)
