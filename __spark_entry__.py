@@ -900,6 +900,21 @@ def _sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+#: point-query keys for the CMS entry — shared with the DuckDB oracle
+_CMS_KEYS = tuple(str(i) for i in range(1, 11))
+
+
+def _cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (textstats.cms_sketch/cms_estimate):
+    the third sketch next to md5-HLL (distinct) and the log-linear quantile
+    sketch — per-key frequency estimates from CMS_ROWS x CMS_WIDTH md5
+    counters built in one map-side-combined pass; point queries touch only
+    the sketch. Engine-exact slots, so the APPROXIMATION value-oracles;
+    est >= true count (one-sided CMS bound) is gated in tests."""
+    sketch = textstats.cms_sketch(_read(spark, sf_dir, "events"), "user_id")
+    return textstats.cms_estimate(sketch, _CMS_KEYS)
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-HLL distinct-user estimate over events: the sketch itself is
     engine-exact (md5 registers, decimal harmonic sum), so even an
@@ -1096,10 +1111,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_events": _sample_events,
         "percentiles": _percentiles,
         "approx_percentiles": _approx_percentiles,
+        "cms_user_counts": _cms_user_counts,
         "approx_distinct_hll": _approx_distinct,
-        "q3_shipping_topk": _q3_shipping_topk,
         # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
+        "q3_shipping_topk": _q3_shipping_topk,
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
         "token_counts": _token_counts,
@@ -1128,6 +1144,8 @@ _NGRAM_MAX_DF = 100
 #: entry and the DuckDB oracle so both derive identical bucket ids
 _QS_K = textstats.QS_K
 _QS_SCALE = textstats.QS_SCALE
+_CMS_ROWS = textstats.CMS_ROWS
+_CMS_WIDTH = textstats.CMS_WIDTH
 
 _SHINGLES_CTE = """
 shingles AS (
@@ -2345,6 +2363,25 @@ SELECT event_type,
        MAX(CASE WHEN q = 0.9 THEN est END) AS p90,
        MAX(CASE WHEN q = 0.99 THEN est END) AS p99
 FROM est GROUP BY event_type
+""",
+        "cms_user_counts": f"""
+WITH keyed AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL),
+hrows AS (SELECT unnest(range(0, {_CMS_ROWS})) AS row_id),
+cells AS (
+  SELECT row_id,
+         ('0x' || substr(md5(row_id || ':' || k), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS slot,
+         COUNT(*) AS c
+  FROM keyed CROSS JOIN hrows GROUP BY 1, 2),
+probes AS (
+  SELECT k, row_id,
+         ('0x' || substr(md5(row_id || ':' || k), 1, 8))::BIGINT
+           % {_CMS_WIDTH} AS slot
+  FROM (VALUES ('1'),('2'),('3'),('4'),('5'),('6'),('7'),('8'),('9'),('10')) ks(k) CROSS JOIN hrows)
+SELECT p.k, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+FROM probes p LEFT JOIN cells c ON c.row_id = p.row_id AND c.slot = p.slot
+GROUP BY p.k
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

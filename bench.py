@@ -152,6 +152,7 @@ def main() -> None:
         "kg_entity_sim_zipf",
         "kg_pipeline_triples_numpy",
         "approx_percentiles",
+        "cms_user_counts",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",

@@ -816,6 +816,86 @@ def approx_percentiles(
     return est.groupBy(*group_cols).agg(*aggs)
 
 
+#: count-min sketch geometry: CMS_ROWS independent md5 hash rows over
+#: CMS_WIDTH counters — point-estimate error <= e*N/CMS_WIDTH with
+#: probability 1 - e^-CMS_ROWS. Shared by the Spark entry and its oracle.
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+
+
+def _cms_slot(row_col, key_col) -> "F.Column":
+    """Counter index for (hash row, key): 32-bit md5 prefix mod CMS_WIDTH —
+    the same engine-portable integer hashing as the HLL/quantile sketches."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row_col.cast("string"), F.lit(":"), key_col)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_sketch(df: "DataFrame", col: str) -> "DataFrame":
+    """(row_id, slot, c) — count-min frequency sketch, ENGINE-EXACT.
+
+    Completes the sketch trio next to the md5-HLL (distinct count) and the
+    log-linear quantile sketch: frequency estimation in one pass over data
+    whose key cardinality can't be held exactly. md5-derived slots make the
+    sketch reproducible in DuckDB, so — unlike a production CMS with
+    engine-private hashing — it value-oracles. Size is fixed
+    (CMS_ROWS x CMS_WIDTH counters regardless of input), merging = summing
+    counters slot-wise (order-free, same executor-fold property as the
+    other sketches), and the build is one map-side-combined aggregation.
+    """
+    keyed = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("k")
+    )
+    expanded = keyed.select(
+        "k",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(CMS_ROWS)])
+        ).alias("row_id"),
+    )
+    return (
+        expanded.select(
+            "row_id", _cms_slot(F.col("row_id"), F.col("k")).alias("slot")
+        )
+        .groupBy("row_id", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: "DataFrame", keys: tuple[str, ...]
+) -> "DataFrame":
+    """(k, est) — point-frequency estimates for ``keys`` from a sketch:
+    min over the CMS_ROWS counters each key hashes into (the classic
+    one-sided bound: est >= true count, over-estimation bounded by
+    collisions, gated in tests). The key frame is broadcast — answering
+    point queries touches CMS_ROWS rows of the sketch per key and never
+    the raw data."""
+    spark = sketch.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "k string")
+    probes = kdf.select(
+        "k",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(CMS_ROWS)])
+        ).alias("row_id"),
+    ).select(
+        "k", "row_id", _cms_slot(F.col("row_id"), F.col("k")).alias("slot")
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["row_id", "slot"], "right")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
 def sample_hash(
     df: "DataFrame",
     id_cols: tuple[str, ...],

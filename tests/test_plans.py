@@ -96,3 +96,35 @@ def test_whole_stage_codegen_in_quality_scores(spark):
     plan = _plan(textstats.quality_scores(docs))
     assert "*(1)" in plan
     assert "Python" not in plan
+
+
+def test_quantile_sketch_no_python_and_partial_agg(spark, tmp_path):
+    """The quantile sketch must stay JVM-side (no Python eval node) and its
+    count aggregation must map-side combine (partial_count before the
+    exchange) — the shape that makes a 1000-executor sketch one small
+    shuffle of <= ~64*k cells per group."""
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        [(i % 3, 1.0 + i) for i in range(100)], "g int, value double"
+    ).write.parquet(path)
+    sk = textstats.quantile_sketch(
+        spark.read.parquet(path), "value", ("g",)
+    )
+    plan = _plan(sk)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_entity_sim_zipf_no_cartesian(spark):
+    """Pair generation on the power-law graph must go through the wedge
+    equi-join (shared-neighbor key), never a cartesian product."""
+    from jamie_spark import kgstats
+
+    df = kgstats.neighbor_jaccard(
+        fixtures.zipf_edges_md5_df(spark, 500, 1000),
+        min_shared=2,
+        threshold=0.5,
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

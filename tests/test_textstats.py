@@ -243,3 +243,36 @@ def test_approx_percentiles_zero_and_small_values(spark):
     row = textstats.approx_percentiles(df, "value", ("g",)).collect()[0]
     assert row["p50"] == 0.0  # 90% of rows are sub-tick
     assert row["p99"] > 400
+
+
+def test_cms_one_sided_bound_and_merge(spark):
+    """CMS guarantees est >= true count for every key (min over rows can
+    only over-count via collisions); merging = slot-wise counter sums must
+    equal the one-pass sketch (the executor-fold property shared with the
+    HLL and quantile sketches)."""
+    from pyspark.sql import functions as F
+
+    # skewed key distribution: key i appears ~1000/i times
+    rows = [(f"k{i}",) for i in range(1, 40) for _ in range(1000 // i)]
+    df = spark.createDataFrame(
+        [(j, k) for j, (k,) in enumerate(rows)], "rid long, user string"
+    )
+    sk = textstats.cms_sketch(df, "user")
+    keys = tuple(f"k{i}" for i in range(1, 40)) + ("absent",)
+    est = {r["k"]: r["est"] for r in textstats.cms_estimate(sk, keys).collect()}
+    true = {f"k{i}": 1000 // i for i in range(1, 40)}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    # total over-count across all keys is bounded by collision mass
+    assert est["absent"] <= sum(true.values()) // 10
+
+    a, b = df.where("rid < 500"), df.where("rid >= 500")
+    merged = (
+        textstats.cms_sketch(a, "user")
+        .unionByName(textstats.cms_sketch(b, "user"))
+        .groupBy("row_id", "slot")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
