@@ -853,21 +853,36 @@ def _ensure_cached(path: str, marker: str, build) -> None:
     per-PID scratch dir, then atomically os.rename into place. Readers only
     ever see fully-published dirs (rename is atomic within /tmp), so a
     concurrent driver can no longer overwrite files under an active reader;
-    losing the publish race just discards the duplicate build."""
+    losing the publish race just discards the duplicate build. A marker-less
+    dir left by a pre-atomic-publish version is claimed via rename (never
+    deleted in place): only ONE process wins the claim, so a concurrent
+    VALID publish can never be swept out from under its readers
+    (check-then-rmtree would race exactly that way)."""
     import os
     import shutil
 
     if os.path.exists(os.path.join(path, marker)):
         return
-    # a dir without its marker is garbage from a pre-atomic-publish version
-    shutil.rmtree(path, ignore_errors=True)
     scratch = f"{path}.build.{os.getpid()}"
     shutil.rmtree(scratch, ignore_errors=True)
     build(scratch)
     try:
         os.rename(scratch, path)
-    except OSError:  # another writer published first; ours is redundant
-        shutil.rmtree(scratch, ignore_errors=True)
+        return
+    except OSError:
+        pass
+    if not os.path.exists(os.path.join(path, marker)):
+        # occupant has no marker -> pre-atomic garbage: claim it aside
+        # atomically, publish ours, then drop the garbage
+        trash = f"{path}.trash.{os.getpid()}"
+        try:
+            os.rename(path, trash)
+            os.rename(scratch, path)
+            shutil.rmtree(trash, ignore_errors=True)
+            return
+        except OSError:  # another process claimed or published first
+            shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(scratch, ignore_errors=True)  # valid publish won the race
 
 
 def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -191,6 +191,12 @@ def main() -> None:
     if stress_docs > 0:
         from jamie_spark import fixtures, textstats
 
+        # pipeline-building entries persist intermediates internally (run_kg
+        # caches its flat-annotations frame); after 60+ timed queries that
+        # accumulated cache pressure measurably distorts the memory-hungry
+        # stress stages (54s vs 22s isolated, observed r4) — drop every
+        # cached block so stress timings reflect the operators
+        spark.catalog.clearCache()
         sdocs = fixtures.boilerplate_docs_df(spark, stress_docs).cache()
         sdocs.count()
         t = time.perf_counter()

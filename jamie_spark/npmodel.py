@@ -30,9 +30,14 @@ Two parts:
   model scoring ~1.0 on its own training distribution. Known compiled-grammar
   approximations, irrelevant on the fixture distribution and documented here
   for honesty: the t-val->t-key rule links ALL (val, key) pairs rather than
-  nearest-preceding (fixture sentences have exactly one of each), and
-  mixed suspicion+negation windows resolve by priority rather than token
-  order (the fixture grammar never mixes them).
+  nearest-preceding (fixture sentences have exactly one of each); mixed
+  suspicion+negation windows resolve by priority rather than token order
+  (the fixture grammar never mixes them); and the modality context window
+  counts _MOD_WINDOW SUBWORDS where the stand-in counts 6 word tokens —
+  equivalent only while the window contains single-subword words, which
+  holds on the fixture templates (entities never appear in another
+  entity's forward window) but diverges if a multi-subword word pushes a
+  cue past the subword horizon.
 """
 
 from __future__ import annotations
@@ -203,8 +208,9 @@ _MOD_LABELS = [
 ]
 _REL_LABELS = ["N", "region", "timeOnset", "value", "On"]
 
-#: forward context window (subwords) the modality rules inspect — the
-#: stand-in's 6-token window (standin._modality)
+#: forward context window in SUBWORDS for the modality rules — matches the
+#: stand-in's 6-WORD window (standin._modality) only while window words are
+#: single-subword; see the module docstring's approximation list
 _MOD_WINDOW = 6
 
 

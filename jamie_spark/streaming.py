@@ -198,32 +198,39 @@ def process_kg_dedup_batch(
         return
     spark = batch_df.sparkSession
     pages = _page_doc_ids(batch_df).persist()
-    docs = pages.select("doc_id", "text")
-    prior = _prior_signatures(spark, store_dir, batch_id)
-    if prior is not None:
-        dups = (
-            textstats.dedup_against_signatures(
-                docs, prior, n=STREAM_SHINGLE_N, min_agree=min_agree,
-                unit=STREAM_SHINGLE_UNIT,
-            )
-            .select(F.col("new_doc_id").alias("doc_id"))
-            .distinct()
-        )
-        survivors = pages.join(dups, "doc_id", "left_anti")
-    else:
-        survivors = pages
-    process_kg_batch(
-        survivors.drop("doc_id"), batch_id, concept_dict, out_dir
-    )
-    # commit step: survivors' signatures become history for batch_id + 1
-    textstats.write_signature_store(
-        survivors.select("doc_id", "text"),
-        os.path.join(store_dir, f"batch={batch_id}"),
-        mode="overwrite",
+    # signatures computed ONCE per batch (shingling dominates the per-batch
+    # cost) and reused for both the dedup probe and the commit step
+    new_sig = textstats.minhash_signature_table(
+        pages.select("doc_id", "text"),
         n=STREAM_SHINGLE_N,
         unit=STREAM_SHINGLE_UNIT,
-    )
-    pages.unpersist()
+    ).persist()
+    try:
+        prior = _prior_signatures(spark, store_dir, batch_id)
+        if prior is not None:
+            dups = (
+                textstats.dedup_against_signatures(
+                    None, prior, n=STREAM_SHINGLE_N, min_agree=min_agree,
+                    unit=STREAM_SHINGLE_UNIT, new_sig=new_sig,
+                )
+                .select(F.col("new_doc_id").alias("doc_id"))
+                .distinct()
+            )
+            survivors = pages.join(dups, "doc_id", "left_anti")
+        else:
+            survivors = pages
+        process_kg_batch(
+            survivors.drop("doc_id"), batch_id, concept_dict, out_dir
+        )
+        # commit step: survivors' signatures become history for batch_id + 1
+        new_sig.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"batch={batch_id}")
+        )
+    finally:
+        new_sig.unpersist()
+        pages.unpersist()
 
 
 def stream_kg_dedup(

@@ -375,21 +375,38 @@ def dedup_incremental(
     )
 
 
+def minhash_signature_table(
+    docs: "DataFrame", n: int = 3, unit: str = "word"
+) -> "DataFrame":
+    """Public face of the PER-DOC signature table (doc_id + N_MINHASHES md5
+    minima — the store row format; distinct from :func:`minhash_signatures`,
+    which returns banded (doc_id, band_id, band_key) rows). For callers
+    that need to compute signatures ONCE and both dedup with them and
+    commit them (the streaming ingest loop: shingling is the dominant
+    per-batch cost, so recomputing for the commit step would double it)."""
+    return _minhash_sig_table(docs, n, unit=unit)
+
+
 def dedup_against_signatures(
-    new_docs: "DataFrame",
+    new_docs: "DataFrame | None",
     store_sig: "DataFrame",
     n: int = 3,
     min_agree: float = 0.25,
     max_bucket: int | None = None,
     unit: str = "word",
+    new_sig: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Core of :func:`dedup_incremental` over an explicit signature FRAME —
     the composition point for callers that assemble the store themselves
     (the streaming ingest loop reads only the partitions of PRIOR batches,
-    so a replayed micro-batch never dedups against its own signatures)."""
+    so a replayed micro-batch never dedups against its own signatures).
+    Pass ``new_sig`` (from :func:`minhash_signature_table`) to reuse an
+    already-computed batch signature table instead of re-shingling
+    ``new_docs``."""
     if max_bucket is None:
         max_bucket = MAX_BAND_BUCKET
-    new_sig = _minhash_sig_table(new_docs, n, unit=unit)
+    if new_sig is None:
+        new_sig = _minhash_sig_table(new_docs, n, unit=unit)
     new_bands = _bands_of(new_sig).select(
         F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
     )
@@ -876,9 +893,11 @@ def cms_estimate(
     """(k, est) — point-frequency estimates for ``keys`` from a sketch:
     min over the CMS_ROWS counters each key hashes into (the classic
     one-sided bound: est >= true count, over-estimation bounded by
-    collisions, gated in tests). The key frame is broadcast — answering
-    point queries touches CMS_ROWS rows of the sketch per key and never
-    the raw data."""
+    collisions, gated in tests). The SKETCH side is broadcast — it is
+    bounded at CMS_ROWS * CMS_WIDTH cells by construction, and a right
+    outer join can only build-broadcast its left side (a broadcast hint on
+    the preserved side is silently ignored and falls back to a sort-merge
+    join). Point queries touch the sketch only, never the raw data."""
     spark = sketch.sparkSession
     kdf = spark.createDataFrame([(k,) for k in keys], "k string")
     probes = kdf.select(
@@ -890,7 +909,8 @@ def cms_estimate(
         "k", "row_id", _cms_slot(F.col("row_id"), F.col("k")).alias("slot")
     )
     return (
-        sketch.join(F.broadcast(probes), ["row_id", "slot"], "right")
+        F.broadcast(sketch)
+        .join(probes, ["row_id", "slot"], "right")
         .groupBy("k")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
