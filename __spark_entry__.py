@@ -930,6 +930,49 @@ def _cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.cms_estimate(sketch, _CMS_KEYS)
 
 
+#: benchmark split for the decontamination entry: every 97th doc plays the
+#: eval set — shared with the DuckDB oracle
+_DECONTAM_MOD = 97
+
+#: per-event-type sampling rates for the stratified entry (domain mixing) —
+#: shared with the DuckDB oracle
+_STRAT_FRACTIONS = {"click": 0.05, "purchase": 0.2}
+_STRAT_DEFAULT = 0.02
+
+
+def _quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (textstats.repetition_scores): the Gopher
+    duplicate-n-gram quality signal — templated spam repeats its own
+    3-grams, natural prose does not. One groupBy over the shingle stream."""
+    return textstats.repetition_scores(_docs(spark, sf_dir), n=3)
+
+
+def _decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training/eval decontamination (textstats.decontam_overlap): per
+    training doc, the fraction of its distinct 3-grams found anywhere in
+    the benchmark set (every 97th doc here) — the GPT-3/Gopher
+    n-gram-collision shape. Benchmark grams are distinct-ed and BROADCAST
+    (eval sets are small by construction); the corpus is scanned once and
+    never shuffled on the gram key."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % _DECONTAM_MOD == 0)
+    train = docs.where(F.col("doc_id") % _DECONTAM_MOD != 0)
+    return textstats.decontam_overlap(train, bench, n=3)
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group deterministic sampling (textstats.sample_stratified): the
+    domain-mixing primitive — md5-threshold membership with the rate looked
+    up per event_type (literal CASE, no join, filter-only)."""
+    return textstats.sample_stratified(
+        _read(spark, sf_dir, "events"),
+        ("event_id",),
+        "event_type",
+        _STRAT_FRACTIONS,
+        default_fraction=_STRAT_DEFAULT,
+    ).select("event_id", "user_id", "event_type")
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-HLL distinct-user estimate over events: the sketch itself is
     engine-exact (md5 registers, decimal harmonic sum), so even an
@@ -1123,13 +1166,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count_1h": _range_count,
         "search_bm25": _search_bm25,
         "search_bm25_indexed": _search_bm25_indexed,
-        "sample_events": _sample_events,
-        "percentiles": _percentiles,
         "approx_percentiles": _approx_percentiles,
         "cms_user_counts": _cms_user_counts,
-        "approx_distinct_hll": _approx_distinct,
+        "quality_repetition": _quality_repetition,
+        "decontam_overlap": _decontam_overlap,
+        "sample_stratified": _sample_stratified,
         # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
+        "sample_events": _sample_events,
+        "percentiles": _percentiles,
+        "approx_distinct_hll": _approx_distinct,
         "q3_shipping_topk": _q3_shipping_topk,
         "q5_regional_revenue": _q5_regional_revenue,
         # training-data ops
@@ -2397,6 +2443,47 @@ probes AS (
 SELECT p.k, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
 FROM probes p LEFT JOIN cells c ON c.row_id = p.row_id AND c.slot = p.slot
 GROUP BY p.k
+""",
+        "quality_repetition": f"""
+WITH {_SHINGLES_CTE.strip()},
+per AS (
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT shingle) AS n_distinct
+    FROM shingles GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.n_distinct, 0) AS BIGINT) AS n_distinct,
+       COALESCE(ROUND(1 - per.n_distinct / per.n_grams, 4), 0.0) AS rep_ratio
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per ON per.doc_id = d.doc_id
+""",
+        "decontam_overlap": f"""
+WITH {_SHINGLES_CTE.strip()},
+dg AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+bench AS (SELECT DISTINCT shingle FROM dg
+          WHERE doc_id % {_DECONTAM_MOD} = 0),
+train AS (SELECT * FROM dg WHERE doc_id % {_DECONTAM_MOD} <> 0),
+matched AS (
+    SELECT doc_id, COUNT(*) AS matched FROM train
+    WHERE shingle IN (SELECT shingle FROM bench) GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(m.matched, 0) AS BIGINT) AS matched,
+       COALESCE(ROUND(m.matched / t.n_grams, 4), 0.0) AS containment
+FROM (SELECT doc_id FROM documents WHERE doc_id % {_DECONTAM_MOD} <> 0) d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN matched m ON m.doc_id = d.doc_id
+""",
+        "sample_stratified": f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE ('0x' || substr(md5('s0' ||
+          md5(coalesce(CAST(event_id AS VARCHAR), chr(0) || 'null'))),
+       1, 8))::BIGINT % 1000000 <
+      CASE event_type
+           WHEN 'click' THEN {round(_STRAT_FRACTIONS['click'] * 1000000)}
+           WHEN 'purchase' THEN {round(_STRAT_FRACTIONS['purchase'] * 1000000)}
+           ELSE {round(_STRAT_DEFAULT * 1000000)} END
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

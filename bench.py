@@ -153,6 +153,9 @@ def main() -> None:
         "kg_pipeline_triples_numpy",
         "approx_percentiles",
         "cms_user_counts",
+        "quality_repetition",
+        "decontam_overlap",
+        "sample_stratified",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",

@@ -916,6 +916,118 @@ def cms_estimate(
     )
 
 
+def repetition_scores(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, n_grams, n_distinct, rep_ratio) — within-document repetition
+    (the Gopher-family "fraction of duplicate n-grams" quality signal, Rae
+    et al. 2021 §A1.1): rep_ratio = 1 - distinct/total over word n-grams.
+    Templated spam and boilerplate-stuffed pages repeat their own n-grams
+    heavily while natural prose does not — this catches what the
+    length/stopword rules (quality_filter) cannot. One groupBy over the
+    existing shingle stream; docs with < n words carry rep_ratio 0.0
+    (nothing to repeat)."""
+    per_doc = (
+        shingles(docs, n)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("shingle").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(1 - F.col("n_distinct") / F.col("n_grams"), 4).alias(
+                "rep_ratio"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("rep_ratio", F.lit(0.0)).alias("rep_ratio"),
+        )
+    )
+
+
+def decontam_overlap(
+    docs: "DataFrame", benchmark: "DataFrame", n: int = 3
+) -> "DataFrame":
+    """(doc_id, n_grams, matched, containment) — training/eval
+    decontamination: per training document, the fraction of its DISTINCT
+    word n-grams that appear anywhere in the benchmark set (the GPT-3 /
+    Gopher n-gram-collision decontamination shape).
+
+    Scale shape: the benchmark n-gram universe is SMALL by construction
+    (eval sets are thousands of docs, the corpus is billions), so it is
+    distinct-ed and broadcast into a left-semi-style match — the corpus is
+    scanned once, never shuffled on the n-gram key. Containment over the
+    training doc's own distinct grams, so a doc that quotes one benchmark
+    line scores low while a verbatim leak scores ~1.0.
+    """
+    doc_grams = shingles(docs, n).select("doc_id", "shingle").distinct()
+    bench_grams = F.broadcast(
+        shingles(benchmark, n).select("shingle").distinct()
+    )
+    matched = (
+        doc_grams.join(bench_grams, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    totals = doc_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("matched", F.lit(0)).alias("matched"),
+            F.round(
+                F.coalesce(
+                    F.col("matched") / F.col("n_grams"), F.lit(0.0)
+                ),
+                4,
+            ).alias("containment"),
+        )
+    )
+
+
+def sample_stratified(
+    df: "DataFrame",
+    id_cols: tuple[str, ...],
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "s0",
+) -> "DataFrame":
+    """Deterministic PER-GROUP hash sampling — the domain-mixing primitive
+    (upsample rare domains, downsample boilerplate-heavy ones): the
+    :func:`sample_hash` membership rule with the threshold looked up per
+    ``group_col`` value. Same determinism contract (pure function of row
+    identity -> stable across runs/engines/resumes/cluster sizes), still
+    filter-only — the per-group rate arrives as a literal CASE expression,
+    no join, no shuffle."""
+    col_digests = [
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        for c in id_cols
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), *col_digests)), 1, 8), 16, 10
+    ).cast("long")
+    thr = F.lit(round(default_fraction * 1_000_000))
+    for g, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(group_col) == g, F.lit(round(frac * 1_000_000))
+        ).otherwise(thr)
+    return df.where(h % 1_000_000 < thr)
+
+
 def sample_hash(
     df: "DataFrame",
     id_cols: tuple[str, ...],

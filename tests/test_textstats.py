@@ -276,3 +276,71 @@ def test_cms_one_sided_bound_and_merge(spark):
     assert sorted(map(tuple, sk.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_repetition_scores_semantics(spark):
+    """Templated repetition scores high; natural-ish prose scores 0; docs
+    too short to shingle score 0 (not null)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),   # heavy 3-gram repeats
+            (2, "the quick brown fox jumps over dogs"),  # all distinct
+            (3, "too short"),                          # < n words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_scores(docs).collect()}
+    assert got[1]["rep_ratio"] > 0.5
+    assert got[2]["rep_ratio"] == 0.0
+    assert got[3]["n_grams"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_decontam_overlap_semantics(spark):
+    """A verbatim benchmark leak scores ~1.0, a partial quote scores low,
+    disjoint text scores 0."""
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris indeed")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris indeed"),      # leak
+            (2, "he said the capital of france then left for rome today"),
+            (3, "completely unrelated text about gardening tips here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["containment"]
+        for r in textstats.decontam_overlap(docs, bench).collect()
+    }
+    assert got[1] == 1.0
+    assert 0.0 < got[2] < 0.5
+    assert got[3] == 0.0
+
+
+def test_sample_stratified_rates_and_determinism(spark):
+    """Per-group rates land near their targets, membership is stable across
+    calls, and a group's members equal sample_hash at that group's rate
+    (the same rule, threshold swapped per stratum)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, ["a", "b"][i % 2]) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    frac = {"a": 0.3, "b": 0.05}
+    s1 = textstats.sample_stratified(df, ("id",), "grp", frac)
+    counts = {
+        r["grp"]: r["n"]
+        for r in s1.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert abs(counts["a"] / 10000 - 0.3) < 0.03
+    assert abs(counts["b"] / 10000 - 0.05) < 0.015
+    # determinism + per-group equivalence with the flat sampler
+    ids_a = {r["id"] for r in s1.where("grp = 'a'").collect()}
+    flat_a = {
+        r["id"]
+        for r in textstats.sample_hash(
+            df.where("grp = 'a'"), ("id",), 0.3
+        ).collect()
+    }
+    assert ids_a == flat_a
