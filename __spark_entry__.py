@@ -973,6 +973,14 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type")
 
 
+def _source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup (textstats.source_stats): the domain-level
+    curation view — Gopher keep rate, mean repetition, exact-dup fraction
+    per source, with order-free exact sums so means hash identically across
+    engines."""
+    return textstats.source_stats(_docs(spark, sf_dir))
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-HLL distinct-user estimate over events: the sketch itself is
     engine-exact (md5 registers, decimal harmonic sum), so even an
@@ -1154,7 +1162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
-        "r5_histogram": _r5_histogram,
         "r8_kfold": _r8_kfold,
         "r10_length_filter": _r10_length_filter,
         "broadcast_dim_join": _broadcast_dim_join,
@@ -1171,8 +1178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _quality_repetition,
         "decontam_overlap": _decontam_overlap,
         "sample_stratified": _sample_stratified,
+        "source_quality_rollup": _source_quality_rollup,
         # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
+        "r5_histogram": _r5_histogram,
         "sample_events": _sample_events,
         "percentiles": _percentiles,
         "approx_distinct_hll": _approx_distinct,
@@ -2484,6 +2493,50 @@ WHERE ('0x' || substr(md5('s0' ||
            WHEN 'click' THEN {round(_STRAT_FRACTIONS['click'] * 1000000)}
            WHEN 'purchase' THEN {round(_STRAT_FRACTIONS['purchase'] * 1000000)}
            ELSE {round(_STRAT_DEFAULT * 1000000)} END
+""",
+        "source_quality_rollup": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+q AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                 / len(ws), 4) AS avg_word_len,
+           round(CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS DOUBLE)
+                 / len(ws), 4) AS stop_ratio
+    FROM w),
+keepq AS (
+    SELECT doc_id, n_tokens,
+           (n_tokens >= {textstats.QUALITY_RULES['min_tokens']}
+            AND n_tokens <= {textstats.QUALITY_RULES['max_tokens']}
+            AND avg_word_len >= {textstats.QUALITY_RULES['min_avg_word_len']}
+            AND avg_word_len <= {textstats.QUALITY_RULES['max_avg_word_len']}
+            AND stop_ratio >= {textstats.QUALITY_RULES['min_stop_ratio']})
+           AS keep
+    FROM q),
+{_SHINGLES_CTE.strip()},
+per AS (
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT shingle) AS n_distinct
+    FROM shingles GROUP BY doc_id),
+rep AS (
+    SELECT d.doc_id,
+           COALESCE(ROUND(1 - per.n_distinct / per.n_grams, 4), 0.0)
+             AS rep_ratio
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per ON per.doc_id = d.doc_id)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS keep_rate,
+       ROUND(CAST(SUM(CAST(rep.rep_ratio AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_rep,
+       ROUND(1 - CAST(COUNT(DISTINCT md5(d.text)) AS DOUBLE) / COUNT(*), 4)
+         AS dup_rate
+FROM documents d
+JOIN keepq k ON k.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+GROUP BY d.source
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

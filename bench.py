@@ -270,6 +270,74 @@ def main() -> None:
             }
         )
 
+    # streaming-ingest stress (run once): the production loop —
+    # stream_kg_dedup micro-batches near-dup against the persisted
+    # signature store before extraction. 4 equal batches where batches 2-4
+    # are half mirrors of batch 1: evidences (a) the mirrors actually drop,
+    # (b) per-batch wall time does NOT grow with store history (the
+    # O(batch + matched rows) claim — the store side is semi-joined to the
+    # batch's band keys before any window).
+    stream_docs = int(os.environ.get("SPARK_GRAFT_STREAM_DOCS", "20000"))
+    if stream_docs > 0:
+        import shutil
+
+        from pyspark.sql import functions as SF
+
+        from jamie_spark import fixtures, streaming
+
+        base = "/tmp/jamie_bench_stream"
+        shutil.rmtree(base, ignore_errors=True)
+        in_dir, s_out, s_ck, s_store = (
+            f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/store"
+        )
+        concepts = fixtures.concept_df(spark)
+        quarter = stream_docs // 4
+        batch_secs = []
+        for b in range(4):
+            if b == 0:
+                pages = fixtures.pages_df_distributed(spark, quarter, seed=100)
+            else:
+                fresh = fixtures.pages_df_distributed(
+                    spark, quarter // 2, seed=200 + b
+                ).withColumn(
+                    "url", SF.concat(SF.lit(f"https://f{b}.test/"), SF.col("url"))
+                )
+                mirrors = fixtures.pages_df_distributed(
+                    spark, quarter // 2, seed=100
+                ).withColumn(
+                    "url", SF.concat(SF.lit(f"https://m{b}.test/"), SF.col("url"))
+                )
+                pages = fresh.unionByName(mirrors)
+            pages.coalesce(4).write.mode("append").parquet(in_dir)
+            t = time.perf_counter()
+            q = streaming.stream_kg_dedup(
+                streaming.read_page_stream(
+                    spark, in_dir, max_files_per_trigger=9999
+                ),
+                concepts, s_out, s_ck, s_store,
+            )
+            q.awaitTermination(600)
+            batch_secs.append(round(time.perf_counter() - t, 3))
+        surv = spark.read.option("basePath", s_store).parquet(
+            f"{s_store}/batch=*"
+        )
+        n_surv = surv.count()
+        timings["stream_stress_total"] = round(sum(batch_secs), 3)
+        spread["stream_stress_total"] = [
+            timings["stream_stress_total"], timings["stream_stress_total"]
+        ]
+        stress.update(
+            {
+                "stream_docs": stream_docs,
+                "stream_batch_secs": batch_secs,
+                "stream_survivors": n_surv,
+                # mirrors are half of batches 2-4: survivors should be
+                # ~stream_docs - 3 * quarter/2
+                "stream_dropped": stream_docs - n_surv,
+            }
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
     wall = round(time.perf_counter() - t0, 3)
     # headline = sum of per-query MEDIANS only; the single-run stress stages
     # are deliberately excluded (they exist as scale evidence, not as a

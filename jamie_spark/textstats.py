@@ -998,6 +998,42 @@ def decontam_overlap(
     )
 
 
+def source_stats(docs: "DataFrame") -> "DataFrame":
+    """(source, n_docs, total_tokens, keep_rate, mean_rep, dup_rate) —
+    per-SOURCE quality rollup: the domain-level curation view (web corpora
+    are filtered by whole domain/feed when a source's aggregate quality is
+    bad, not doc-by-doc). Composes the existing signals — Gopher keep flag,
+    repetition ratio, exact-dup fraction — into one groupBy(source).
+
+    Cross-engine mean parity: floating sums are order-dependent across
+    engines/partitionings, so every mean here divides an ORDER-FREE exact
+    sum (longs, or the 4-decimal rep_ratio summed as DECIMAL) by the count
+    in a single final double division.
+    """
+    q = quality_filter(docs).select("doc_id", "n_tokens", "keep")
+    r = repetition_scores(docs).select("doc_id", "rep_ratio")
+    base = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    n = F.count(F.lit(1))
+    return (
+        base.join(q, "doc_id")
+        .join(r, "doc_id")
+        .groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum(F.col("keep").cast("long")) / n, 4).alias(
+                "keep_rate"
+            ),
+            F.round(
+                F.sum(F.col("rep_ratio").cast("decimal(18,4)")).cast("double")
+                / n,
+                4,
+            ).alias("mean_rep"),
+            F.round(F.lit(1) - F.countDistinct("h") / n, 4).alias("dup_rate"),
+        )
+    )
+
+
 def sample_stratified(
     df: "DataFrame",
     id_cols: tuple[str, ...],

@@ -15,6 +15,7 @@ def test_bench_emits_driver_contract_json():
         SPARK_GRAFT_KG_DOCS="300",
         SPARK_GRAFT_BENCH_RUNS="2",
         SPARK_GRAFT_STRESS_DOCS="5000",
+        SPARK_GRAFT_STREAM_DOCS="2000",
     )
     out = subprocess.run(
         [sys.executable, "bench.py"],
@@ -49,3 +50,6 @@ def test_bench_emits_driver_contract_json():
     # dedup scale-stress stage: candidate volume must stay near-linear
     assert payload["stress_docs"] == 5000
     assert payload["stress_cand_per_doc"] < 4.0
+    # streaming-ingest stress: 4 micro-batches ran, mirrors were dropped
+    assert len(payload["stream_batch_secs"]) == 4
+    assert 0 < payload["stream_survivors"] < payload["stream_docs"]
