@@ -1235,6 +1235,41 @@ shingles AS (
 )
 """
 
+#: shared Gopher quality-scores CTE (doc_id, n_tokens, avg_word_len,
+#: stop_ratio) + keep predicate — single SQL source for the quality_filter,
+#: text_quality-adjacent and source_quality_rollup oracles (three drifting
+#: copies otherwise)
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+_QUALITY_Q_CTE = f"""q AS (
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                 / len(ws), 4) AS avg_word_len,
+           round(CAST(len(list_filter(ws, x -> x IN ({_STOP_LIST}))) AS DOUBLE)
+                 / len(ws), 4) AS stop_ratio
+    FROM w)"""
+_KEEP_PRED = (
+    f"(n_tokens >= {textstats.QUALITY_RULES['min_tokens']}"
+    f" AND n_tokens <= {textstats.QUALITY_RULES['max_tokens']}"
+    f" AND avg_word_len >= {textstats.QUALITY_RULES['min_avg_word_len']}"
+    f" AND avg_word_len <= {textstats.QUALITY_RULES['max_avg_word_len']}"
+    f" AND stop_ratio >= {textstats.QUALITY_RULES['min_stop_ratio']})"
+)
+
+#: shared per-doc repetition CTE over `shingles` — used by the
+#: quality_repetition and source_quality_rollup oracles
+_REP_CTES = """per AS (
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT shingle) AS n_distinct
+    FROM shingles GROUP BY doc_id),
+rep AS (
+    SELECT d.doc_id,
+           COALESCE(ROUND(1 - per.n_distinct / per.n_grams, 4), 0.0)
+             AS rep_ratio
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per ON per.doc_id = d.doc_id)"""
+
+
 
 def _mod_labels_values() -> str:
     """sorted(MOD_DICT) as (index, label, family) VALUES — single source of
@@ -2455,16 +2490,14 @@ GROUP BY p.k
 """,
         "quality_repetition": f"""
 WITH {_SHINGLES_CTE.strip()},
-per AS (
-    SELECT doc_id, COUNT(*) AS n_grams,
-           COUNT(DISTINCT shingle) AS n_distinct
-    FROM shingles GROUP BY doc_id)
+{_REP_CTES}
 SELECT d.doc_id,
        CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
        CAST(COALESCE(per.n_distinct, 0) AS BIGINT) AS n_distinct,
-       COALESCE(ROUND(1 - per.n_distinct / per.n_grams, 4), 0.0) AS rep_ratio
+       rep.rep_ratio
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per ON per.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
 """,
         "decontam_overlap": f"""
 WITH {_SHINGLES_CTE.strip()},
@@ -2496,34 +2529,12 @@ WHERE ('0x' || substr(md5('s0' ||
 """,
         "source_quality_rollup": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-q AS (
-    SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS n_tokens,
-           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-                 / len(ws), 4) AS avg_word_len,
-           round(CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS DOUBLE)
-                 / len(ws), 4) AS stop_ratio
-    FROM w),
+{_QUALITY_Q_CTE},
 keepq AS (
-    SELECT doc_id, n_tokens,
-           (n_tokens >= {textstats.QUALITY_RULES['min_tokens']}
-            AND n_tokens <= {textstats.QUALITY_RULES['max_tokens']}
-            AND avg_word_len >= {textstats.QUALITY_RULES['min_avg_word_len']}
-            AND avg_word_len <= {textstats.QUALITY_RULES['max_avg_word_len']}
-            AND stop_ratio >= {textstats.QUALITY_RULES['min_stop_ratio']})
-           AS keep
+    SELECT doc_id, n_tokens, {_KEEP_PRED} AS keep
     FROM q),
 {_SHINGLES_CTE.strip()},
-per AS (
-    SELECT doc_id, COUNT(*) AS n_grams,
-           COUNT(DISTINCT shingle) AS n_distinct
-    FROM shingles GROUP BY doc_id),
-rep AS (
-    SELECT d.doc_id,
-           COALESCE(ROUND(1 - per.n_distinct / per.n_grams, 4), 0.0)
-             AS rep_ratio
-    FROM (SELECT doc_id FROM documents) d
-    LEFT JOIN per ON per.doc_id = d.doc_id)
+{_REP_CTES}
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens,
@@ -2656,21 +2667,9 @@ FROM w
         "lang_id": _lang_id_sql(),
         "quality_filter": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-q AS (
-    SELECT doc_id,
-           CAST(len(ws) AS BIGINT) AS n_tokens,
-           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
-                 / len(ws), 4) AS avg_word_len,
-           round(CAST(len(list_filter(ws, x -> x IN ({stop_list}))) AS DOUBLE)
-                 / len(ws), 4) AS stop_ratio
-    FROM w
-)
+{_QUALITY_Q_CTE}
 SELECT doc_id, n_tokens, avg_word_len, stop_ratio,
-       (n_tokens >= {textstats.QUALITY_RULES['min_tokens']}
-        AND n_tokens <= {textstats.QUALITY_RULES['max_tokens']}
-        AND avg_word_len >= {textstats.QUALITY_RULES['min_avg_word_len']}
-        AND avg_word_len <= {textstats.QUALITY_RULES['max_avg_word_len']}
-        AND stop_ratio >= {textstats.QUALITY_RULES['min_stop_ratio']}) AS keep
+       {_KEEP_PRED} AS keep
 FROM q
 """,
         "dedup_exact": """

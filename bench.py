@@ -285,14 +285,20 @@ def main() -> None:
 
         from jamie_spark import fixtures, streaming
 
-        base = "/tmp/jamie_bench_stream"
+        base = f"/tmp/jamie_bench_stream_{os.getpid()}"
         shutil.rmtree(base, ignore_errors=True)
         in_dir, s_out, s_ck, s_store = (
             f"{base}/in", f"{base}/out", f"{base}/ckpt", f"{base}/store"
         )
         concepts = fixtures.concept_df(spark)
         quarter = stream_docs // 4
+        # actual written volume: batch 0 is `quarter`, batches 1-3 are
+        # quarter//2 fresh + quarter//2 mirrors each — record the REAL
+        # count, not the env knob (they differ when stream_docs % 4 != 0
+        # or quarter is odd)
+        docs_written = quarter + 3 * 2 * (quarter // 2)
         batch_secs = []
+        timed_out = False
         for b in range(4):
             if b == 0:
                 pages = fixtures.pages_df_distributed(spark, quarter, seed=100)
@@ -316,7 +322,15 @@ def main() -> None:
                 ),
                 concepts, s_out, s_ck, s_store,
             )
-            q.awaitTermination(600)
+            finished = q.awaitTermination(600)
+            if not finished:
+                # do NOT start the next loop iteration against the same
+                # checkpoint/store while this query is live — stop it and
+                # record the truncation instead of a bogus timing
+                q.stop()
+                timed_out = True
+                batch_secs.append(round(time.perf_counter() - t, 3))
+                break
             batch_secs.append(round(time.perf_counter() - t, 3))
         surv = spark.read.option("basePath", s_store).parquet(
             f"{s_store}/batch=*"
@@ -328,12 +342,13 @@ def main() -> None:
         ]
         stress.update(
             {
-                "stream_docs": stream_docs,
+                "stream_docs": docs_written,
                 "stream_batch_secs": batch_secs,
                 "stream_survivors": n_surv,
+                "stream_timed_out": timed_out,
                 # mirrors are half of batches 2-4: survivors should be
-                # ~stream_docs - 3 * quarter/2
-                "stream_dropped": stream_docs - n_surv,
+                # ~docs_written - 3 * quarter/2
+                "stream_dropped": docs_written - n_surv,
             }
         )
         shutil.rmtree(base, ignore_errors=True)

@@ -970,20 +970,26 @@ def decontam_overlap(
     """
     doc_grams = shingles(docs, n).select("doc_id", "shingle").distinct()
     bench_grams = F.broadcast(
-        shingles(benchmark, n).select("shingle").distinct()
+        shingles(benchmark, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    matched = (
-        doc_grams.join(bench_grams, "shingle", "left_semi")
+    # ONE aggregation computes both counts: the broadcast left join marks
+    # benchmark grams, count(*) vs count(hit) splits total/matched — the
+    # expensive distinct gram stream is consumed once, not fed to two plan
+    # branches with separate doc_id shuffles
+    per_doc = (
+        doc_grams.join(bench_grams, "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("matched"))
-    )
-    totals = doc_grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("matched"),
+        )
     )
     return (
         docs.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(matched, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
@@ -1049,19 +1055,29 @@ def sample_stratified(
     identity -> stable across runs/engines/resumes/cluster sizes), still
     filter-only — the per-group rate arrives as a literal CASE expression,
     no join, no shuffle."""
-    col_digests = [
-        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-        for c in id_cols
-    ]
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), *col_digests)), 1, 8), 16, 10
-    ).cast("long")
+    h = _sample_hash_key(id_cols, salt)
     thr = F.lit(round(default_fraction * 1_000_000))
     for g, frac in sorted(fractions.items()):
         thr = F.when(
             F.col(group_col) == g, F.lit(round(frac * 1_000_000))
         ).otherwise(thr)
     return df.where(h % 1_000_000 < thr)
+
+
+def _sample_hash_key(id_cols: tuple[str, ...], salt: str) -> "F.Column":
+    """The shared membership-hash expression for the deterministic samplers:
+    each id column md5-hashed INDIVIDUALLY before the concat (fixed-width
+    digests — no separator-collision between ('a','b:c') and ('a:b','c')),
+    NULL mapped to a sentinel digest, then a 32-bit md5 prefix as a long.
+    Single source of truth so the per-group/flat equivalence contract
+    cannot drift."""
+    col_digests = [
+        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+        for c in id_cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), *col_digests)), 1, 8), 16, 10
+    ).cast("long")
 
 
 def sample_hash(
@@ -1087,13 +1103,7 @@ def sample_hash(
     ('a','b:c') and ('a:b','c')), with NULL mapped to a sentinel digest so
     a null id is a stable value, not a dropped row.
     """
-    col_digests = [
-        F.md5(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
-        for c in id_cols
-    ]
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), *col_digests)), 1, 8), 16, 10
-    ).cast("long")
+    h = _sample_hash_key(id_cols, salt)
     return df.where(h % 1_000_000 < round(fraction * 1_000_000))
 
 
