@@ -981,6 +981,24 @@ def _source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.source_stats(_docs(spark, sf_dir))
 
 
+#: curation-pipeline sampling rates (one source down-sampled so the
+#: stratified stage is exercised) — shared with the DuckDB oracle
+_CURATION_FRACTIONS = {"src0": 0.5}
+_CURATION_DEFAULT = 1.0
+
+
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation flow (textstats.curation_pipeline):
+    quality gate -> exact-dup keeper -> repetition ceiling -> per-source
+    sampling, as ONE declarative plan — each stage is an already-oracled
+    operator, so the composition value-oracles end-to-end."""
+    return textstats.curation_pipeline(
+        _docs(spark, sf_dir),
+        fractions=_CURATION_FRACTIONS,
+        default_fraction=_CURATION_DEFAULT,
+    )
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-HLL distinct-user estimate over events: the sketch itself is
     engine-exact (md5 registers, decimal harmonic sum), so even an
@@ -1162,7 +1180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
-        "r8_kfold": _r8_kfold,
         "r10_length_filter": _r10_length_filter,
         "broadcast_dim_join": _broadcast_dim_join,
         "tumbling_window": _tumbling_window,
@@ -1179,8 +1196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _decontam_overlap,
         "sample_stratified": _sample_stratified,
         "source_quality_rollup": _source_quality_rollup,
+        "curation_pipeline": _curation_pipeline,
         # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
+        "r8_kfold": _r8_kfold,
         "r5_histogram": _r5_histogram,
         "sample_events": _sample_events,
         "percentiles": _percentiles,
@@ -2548,6 +2567,28 @@ FROM documents d
 JOIN keepq k ON k.doc_id = d.doc_id
 JOIN rep ON rep.doc_id = d.doc_id
 GROUP BY d.source
+""",
+        "curation_pipeline": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+{_QUALITY_Q_CTE},
+keepq AS (
+    SELECT doc_id, n_tokens FROM q WHERE {_KEEP_PRED}),
+keepers AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+{_SHINGLES_CTE.strip()},
+{_REP_CTES}
+SELECT d.doc_id, d.source, k.n_tokens
+FROM documents d
+JOIN keepq k ON k.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+  AND rep.rep_ratio <= {textstats.CURATION_MAX_REP}
+  AND ('0x' || substr(md5('s0' ||
+          md5(coalesce(CAST(d.doc_id AS VARCHAR), chr(0) || 'null'))),
+       1, 8))::BIGINT % 1000000 <
+      CASE d.source
+           WHEN 'src0' THEN {round(_CURATION_FRACTIONS['src0'] * 1000000)}
+           ELSE {round(_CURATION_DEFAULT * 1000000)} END
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

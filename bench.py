@@ -156,6 +156,8 @@ def main() -> None:
         "quality_repetition",
         "decontam_overlap",
         "sample_stratified",
+        "source_quality_rollup",
+        "curation_pipeline",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",

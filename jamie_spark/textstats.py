@@ -1004,6 +1004,50 @@ def decontam_overlap(
     )
 
 
+#: curation defaults: repetition ceiling + per-source sampling rates —
+#: shared with the DuckDB oracle via __spark_entry__
+CURATION_MAX_REP = 0.2
+
+
+def curation_pipeline(
+    docs: "DataFrame",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 1.0,
+    max_rep: float = CURATION_MAX_REP,
+) -> "DataFrame":
+    """(doc_id, source, n_tokens) — the END-TO-END curation flow as ONE
+    declarative plan: Gopher quality gate -> exact-dup keeper -> repetition
+    ceiling -> per-source deterministic sampling. This is the composition a
+    training-data pipeline actually runs before tokenization; expressing it
+    as a single DataFrame lets Catalyst fuse the scans (quality and
+    repetition both read the same shingle/word streams) and push the cheap
+    filters below the joins.
+
+    Every stage is one of the already-oracled operators, so the composition
+    value-oracles end-to-end: keep (quality_filter), keeper_doc_id
+    (dedup_exact: MIN doc_id per md5), rep_ratio (repetition_scores),
+    membership (_sample_hash_key rule via sample_stratified).
+    """
+    q = quality_filter(docs).where("keep").select("doc_id", "n_tokens")
+    keepers = dedup_exact(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    low_rep = repetition_scores(docs).where(
+        F.col("rep_ratio") <= max_rep
+    ).select("doc_id")
+    base = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .join(low_rep, "doc_id", "left_semi")
+    )
+    if fractions:
+        base = sample_stratified(
+            base, ("doc_id",), "source", fractions, default_fraction
+        )
+    return base.select("doc_id", "source", "n_tokens")
+
+
 def source_stats(docs: "DataFrame") -> "DataFrame":
     """(source, n_docs, total_tokens, keep_rate, mean_rep, dup_rate) —
     per-SOURCE quality rollup: the domain-level curation view (web corpora

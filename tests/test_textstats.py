@@ -344,3 +344,23 @@ def test_sample_stratified_rates_and_determinism(spark):
         ).collect()
     }
     assert ids_a == flat_a
+
+
+def test_curation_pipeline_stages_prune(spark):
+    """Each composed stage must actually remove its targets: the quality
+    gate drops the too-short doc, the keeper stage drops the exact dup,
+    the repetition ceiling drops the template spam, sampling respects the
+    per-source rate (1.0 keeps everything here)."""
+    good = (
+        "the alpha of beta and gamma in delta to epsilon is zeta "
+        "the eta of theta and iota in kappa to lambda is mu nu"
+    )  # 24 tokens, all trigrams distinct, stopword-rich
+    rows = [
+        (1, good, "s1"),                          # good -> kept
+        (2, "too short", "s1"),                   # fails min_tokens
+        (3, good, "s1"),                          # exact dup of 1 -> dropped
+        (4, ("buy now " * 40) + good, "s1"),      # repetition > ceiling
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = {r["doc_id"] for r in textstats.curation_pipeline(docs).collect()}
+    assert kept == {1}
