@@ -237,3 +237,69 @@ def test_document_sent_mask_properties(toks):
             assert m[i] == 1 - m[i - 1]
         else:
             assert m[i] == m[i - 1]
+
+
+# --- quantile-sketch bucket arithmetic (textstats.quantile_sketch spec) ----
+# Pure twin of the Column expressions: octave = bit_length(t)-1, k linear
+# sub-buckets by shift+div, representative = bucket lower bound. The Spark
+# and DuckDB sides are value-compared at sf0.01 by the oracle; these
+# properties prove the ERROR BOUND and monotonicity for ALL ticks, not just
+# the test corpus.
+
+def _qs_bucket(t: int, k: int) -> int:
+    if t <= 0:
+        return -1
+    e = t.bit_length() - 1
+    return e * k + ((t - (1 << e)) * k) // (1 << e)
+
+
+def _qs_rep(bucket: int, k: int) -> int:
+    if bucket < 0:
+        return 0
+    e, sub = divmod(bucket, k)
+    return (1 << e) + (sub << e) // k
+
+
+@given(st.integers(min_value=1, max_value=1 << 50))
+@settings(max_examples=500)
+def test_quantile_bucket_error_bound_and_order(t):
+    from jamie_spark.textstats import QS_K
+
+    b = _qs_bucket(t, QS_K)
+    rep = _qs_rep(b, QS_K)
+    # representative is the bucket LOWER bound: rep <= t, relative error
+    # strictly under 1/k plus one integer tick of slack
+    assert rep <= t
+    assert (t - rep) <= (1 << (t.bit_length() - 1)) // QS_K + 1
+    assert (t - rep) / t <= 1.0 / QS_K + 1.0 / t
+    # bucket ids and representatives are monotone in t
+    b2 = _qs_bucket(t + 1, QS_K)
+    assert b2 >= b
+    assert _qs_rep(b2, QS_K) >= rep
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=200)
+)
+@settings(max_examples=200)
+def test_cms_min_over_rows_never_undercounts(keys):
+    """Pure twin of the CMS estimate: counters built with the same
+    md5-derived slots, estimate = min over rows — est >= true for EVERY key
+    in EVERY multiset (the one-sided bound is structural, not statistical)."""
+    import hashlib
+
+    from jamie_spark.textstats import CMS_ROWS, CMS_WIDTH
+
+    def slot(row, key):
+        h = hashlib.md5(f"{row}:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % CMS_WIDTH
+
+    counters = [[0] * CMS_WIDTH for _ in range(CMS_ROWS)]
+    true = {}
+    for key in keys:
+        true[key] = true.get(key, 0) + 1
+        for r in range(CMS_ROWS):
+            counters[r][slot(r, key)] += 1
+    for key, t in true.items():
+        est = min(counters[r][slot(r, key)] for r in range(CMS_ROWS))
+        assert est >= t
