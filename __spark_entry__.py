@@ -850,39 +850,59 @@ def _content_key(sf_dir: str, name: str) -> str:
 
 def _ensure_cached(path: str, marker: str, build) -> None:
     """Concurrency-safe /tmp artifact cache (ADVICE r03): build into a
-    per-PID scratch dir, then atomically os.rename into place. Readers only
-    ever see fully-published dirs (rename is atomic within /tmp), so a
-    concurrent driver can no longer overwrite files under an active reader;
-    losing the publish race just discards the duplicate build. A marker-less
-    dir left by a pre-atomic-publish version is claimed via rename (never
-    deleted in place): only ONE process wins the claim, so a concurrent
-    VALID publish can never be swept out from under its readers
-    (check-then-rmtree would race exactly that way)."""
+    UNIQUE per-PID target dir, then publish by atomically swapping a
+    SYMLINK at ``path`` onto it (os.replace of a link is atomic on POSIX).
+    Under this scheme ``path`` is only ever (a) absent, (b) a symlink to a
+    complete target, or (c) a plain marker-less dir left by a pre-symlink
+    version of this code — never a partially built or half-deleted dir. A
+    concurrent publisher can therefore never unlink a valid target from
+    under an active reader: losing the link swap just leaves a redundant
+    target dir, and stale targets are only reaped once they are old
+    (readers are sub-minute queries). A legacy plain dir is claimed aside
+    via rename — atomic, exactly one claimant wins, and it cannot be a
+    valid new-style publish because those are symlinks."""
     import os
     import shutil
+    import time as _time
 
     if os.path.exists(os.path.join(path, marker)):
         return
-    scratch = f"{path}.build.{os.getpid()}"
-    shutil.rmtree(scratch, ignore_errors=True)
-    build(scratch)
+    target = f"{path}.v{os.getpid()}_{os.urandom(4).hex()}"
     try:
-        os.rename(scratch, path)
-        return
-    except OSError:
-        pass
-    if not os.path.exists(os.path.join(path, marker)):
-        # occupant has no marker -> pre-atomic garbage: claim it aside
-        # atomically, publish ours, then drop the garbage
-        trash = f"{path}.trash.{os.getpid()}"
+        build(target)
+    except BaseException:
+        shutil.rmtree(target, ignore_errors=True)  # no half-built leftovers
+        raise
+    if os.path.isdir(path) and not os.path.islink(path):
+        # pre-symlink legacy dir (marker-less, else we'd have returned):
+        # claim it aside atomically; a loser's rename just fails
         try:
-            os.rename(path, trash)
-            os.rename(scratch, path)
-            shutil.rmtree(trash, ignore_errors=True)
-            return
-        except OSError:  # another process claimed or published first
-            shutil.rmtree(trash, ignore_errors=True)
-    shutil.rmtree(scratch, ignore_errors=True)  # valid publish won the race
+            os.rename(path, f"{path}.legacy.{os.getpid()}")
+        except OSError:
+            pass
+    tmplink = f"{path}.lnk.{os.getpid()}"
+    try:
+        os.symlink(target, tmplink)
+        os.replace(tmplink, path)  # atomic link swap; last writer wins
+    except OSError:
+        shutil.rmtree(target, ignore_errors=True)
+        return
+    # opportunistic reap of OLD redundant targets/legacy dirs (never fresh
+    # ones — a reader may still hold them): age > 1h
+    base_dir = os.path.dirname(path) or "."
+    prefix = os.path.basename(path)
+    live = os.path.realpath(path)
+    for name in os.listdir(base_dir):
+        if not (name.startswith(prefix + ".v")
+                or name.startswith(prefix + ".legacy.")):
+            continue
+        cand = os.path.join(base_dir, name)
+        try:
+            if (os.path.realpath(cand) != live
+                    and _time.time() - os.path.getmtime(cand) > 3600):
+                shutil.rmtree(cand, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def _search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,7 +37,10 @@ Two parts:
   equivalent only while the window contains single-subword words, which
   holds on the fixture templates (entities never appear in another
   entity's forward window) but diverges if a multi-subword word pushes a
-  cue past the subword horizon.
+  cue past the subword horizon. NOT an approximation: the DCT self-loop
+  head is position-exact — the selection features carry [i, i^2, 1] and the
+  On form scores 48*dft_i*dft_j - 100*(i-j)^2 - 10, so only true self-loops
+  fire even with multiple diseases in one unit (pinned by test).
 """
 
 from __future__ import annotations
@@ -52,7 +55,7 @@ from .subword import UNK, wordpiece
 
 #: bump when the compiled architecture or the rule lowering changes — cached
 #: checkpoint dirs key on this (see __spark_entry__)
-CHECKPOINT_VERSION = "np-standin-1"
+CHECKPOINT_VERSION = "np-standin-2"
 
 
 # ---------------------------------------------------------------------------
@@ -135,6 +138,16 @@ class NumpyJointExtractor(BatchedJointExtractor):
         ner_em = Hfin @ w["Wner"] + w["bner"]             # (B, L, T)
         mod_lg = Hfin @ w["Wmod"] + w["bmod"]             # (B, L, M)
         f = Hfin @ w["Wsel"]                              # (B, L, S)
+        # deterministic positional selection features [i, i^2, 1]: the
+        # bilinear heads use them to express locality/self-loop constraints
+        # (e.g. -(i-j)^2 as a quadratic form) — the reference selection
+        # scorer sees position through BERT's position embeddings; here the
+        # features are explicit and exact
+        pos = np.arange(L, dtype=float)
+        pf = np.stack([pos, pos * pos, np.ones(L)], axis=-1)  # (L, 3)
+        f = np.concatenate(
+            [f, np.broadcast_to(pf, (B, L, 3))], axis=-1
+        )
 
         ner_labels = self._labels["ner2ix"]
         mod_labels = self._labels["mod2ix"]
@@ -455,14 +468,23 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
     Wsel = np.zeros((len(fin_names), len(sel_feats)))
     for si, n in enumerate(sel_feats):
         Wsel[fin_ix[n], si] = 1.0
+    # + the forward's appended positional features [pos, pos^2, 1]
     sf = {n: i for i, n in enumerate(sel_feats)}
-    U = np.zeros((len(_REL_LABELS), len(sel_feats), len(sel_feats)))
+    S = len(sel_feats)
+    sf["pos"], sf["pos2"], sf["one"] = S, S + 1, S + 2
+    U = np.zeros((len(_REL_LABELS), S + 3, S + 3))
     brel = np.full(len(_REL_LABELS), -10.0)
     rel_ix = {r: i for i, r in enumerate(_REL_LABELS)}
     U[rel_ix["region"], sf["last_d"], sf["last_a"]] = 20.0
     U[rel_ix["timeOnset"], sf["last_d"], sf["last_TIMEX3"]] = 20.0
     U[rel_ix["value"], sf["last_t-val"], sf["last_t-key"]] = 20.0
-    U[rel_ix["On"], sf["last_d"], sf["dft"]] = 40.0          # dft fires at 0.5
+    # DCT self-loop, EXACT: 48*dft_i*dft_j - 100*(pos_i - pos_j)^2 - 10
+    # (dft = 0.5 on fire -> diagonal score 48*0.25 - 10 = +2; any i != j
+    # pays at least -100). Quadratic positional form expanded bilinearly.
+    U[rel_ix["On"], sf["dft"], sf["dft"]] = 48.0
+    U[rel_ix["On"], sf["pos"], sf["pos"]] = 200.0
+    U[rel_ix["On"], sf["pos2"], sf["one"]] = -100.0
+    U[rel_ix["On"], sf["one"], sf["pos2"]] = -100.0
 
     # -- persist ---------------------------------------------------------------
     os.makedirs(out_dir, exist_ok=True)

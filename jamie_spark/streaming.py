@@ -153,14 +153,26 @@ def _prior_signatures(
     """Signature partitions of batches STRICTLY BEFORE ``batch_id`` — the
     replay-safety core: a re-run micro-batch must never dedup against its
     own committed signatures (that would drop every page of the replay and
-    break idempotence). Returns None when no prior batch exists."""
-    import glob
+    break idempotence). Returns None when no prior batch exists.
 
-    dirs = [
-        d
-        for d in glob.glob(os.path.join(store_dir, "batch=*"))
-        if int(d.rsplit("=", 1)[1]) < batch_id
-    ]
+    Listing goes through the Hadoop FileSystem API (the store lives
+    wherever Spark can write — hdfs://, s3a://, file://), NOT driver-local
+    glob: a local glob on a remote store would silently match nothing and
+    disable dedup without a whisper."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(store_dir, "batch=*")
+    )
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
+        return None
+    dirs = []
+    for st in statuses:
+        p = st.getPath().toString()
+        b = p.rsplit("=", 1)[1]
+        if b.isdigit() and int(b) < batch_id:
+            dirs.append(p)
     if not dirs:
         return None
     return (
@@ -179,7 +191,8 @@ def process_kg_dedup_batch(
     min_agree: float = STREAM_DEDUP_MIN_AGREE,
 ) -> None:
     """One micro-batch of the PRODUCTION ingest shape: near-dup the incoming
-    crawl against all history via the persisted MinHash signature store,
+    crawl against all history via the persisted MinHash signature store
+    AND against itself (cold-start backlogs arrive as one giant batch 0),
     extract triples only from the survivors, then commit the survivors'
     signatures — history is shingled exactly once, at its own ingest.
 
@@ -219,6 +232,21 @@ def process_kg_dedup_batch(
             survivors = pages.join(dups, "doc_id", "left_anti")
         else:
             survivors = pages
+        # INTRA-batch near-dups (a cold-start backlog collapses the whole
+        # crawl into micro-batch 0 — prior-history dedup alone would admit
+        # every mirror pair inside it): self-match the batch signatures and
+        # keep the MIN doc_id of each near-dup pair. Deterministic and
+        # transitive-safe (any doc with a smaller near-dup neighbor drops).
+        intra = (
+            textstats.dedup_against_signatures(
+                None, new_sig, n=STREAM_SHINGLE_N, min_agree=min_agree,
+                unit=STREAM_SHINGLE_UNIT, new_sig=new_sig,
+            )
+            .where(F.col("new_doc_id") > F.col("stored_doc_id"))
+            .select(F.col("new_doc_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = survivors.join(intra, "doc_id", "left_anti")
         process_kg_batch(
             survivors.drop("doc_id"), batch_id, concept_dict, out_dir
         )

