@@ -1019,6 +1019,20 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-source token budget for the packing entry — shared with the oracle
+_TOKEN_BUDGET = 500
+
+
+def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget packing (textstats.token_budget_sample):
+    keep docs in md5 order per source until each source's token budget is
+    met — the data-mixing primitive where rates fall out of budgets. One
+    window per group key; exact integer cumsum, value-oracled."""
+    return textstats.token_budget_sample(
+        _docs(spark, sf_dir), _TOKEN_BUDGET, group_col="source"
+    )
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-HLL distinct-user estimate over events: the sketch itself is
     engine-exact (md5 registers, decimal harmonic sum), so even an
@@ -1200,7 +1214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
-        "r10_length_filter": _r10_length_filter,
         "broadcast_dim_join": _broadcast_dim_join,
         "tumbling_window": _tumbling_window,
         "skew_salted_agg": _skew_salted_agg,
@@ -1217,8 +1230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "source_quality_rollup": _source_quality_rollup,
         "curation_pipeline": _curation_pipeline,
+        "token_budget_sample": _token_budget_sample,
         # ---- position-50 cutoff: everything below was green in r03 and ----
         # ---- rotates into the head next round                          ----
+        "r10_length_filter": _r10_length_filter,
         "r8_kfold": _r8_kfold,
         "r5_histogram": _r5_histogram,
         "sample_events": _sample_events,
@@ -2609,6 +2624,21 @@ WHERE d.doc_id IN (SELECT doc_id FROM keepers)
       CASE d.source
            WHEN 'src0' THEN {round(_CURATION_FRACTIONS['src0'] * 1000000)}
            ELSE {round(_CURATION_DEFAULT * 1000000)} END
+""",
+        "token_budget_sample": f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

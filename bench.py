@@ -158,6 +158,7 @@ def main() -> None:
         "sample_stratified",
         "source_quality_rollup",
         "curation_pipeline",
+        "token_budget_sample",
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",

@@ -1048,6 +1048,40 @@ def curation_pipeline(
     return base.select("doc_id", "source", "n_tokens")
 
 
+def token_budget_sample(
+    docs: "DataFrame", budget: int, group_col: str | None = None
+) -> "DataFrame":
+    """(doc_id[, group], n_tokens, cum_tokens) — deterministic token-budget
+    packing: walk documents in md5(doc_id) order (a stable, unbiased
+    shuffle — no RNG, same set on any engine/partitioning/resume) and keep
+    each doc while its group's budget is not yet exhausted BEFORE it, i.e.
+    keep iff cum_tokens - n_tokens < budget. The data-mixing primitive
+    "take N tokens per source/domain": rates fall out of budgets instead of
+    hand-tuned fractions, and the kept set is reproducible bit-for-bit.
+
+    One window over (group, md5-order) — a single shuffle on the group key;
+    the cumulative sum is exact integer arithmetic, so the operator
+    value-oracles like the samplers. The boundary doc that CROSSES the
+    budget is kept (budget is a floor on kept tokens, not a ceiling) —
+    matching how corpus budgets are specified in practice ("at least N
+    tokens of X").
+    """
+    toks = token_counts(docs)
+    cols = ["doc_id"] + ([group_col] if group_col else [])
+    d = docs.select(*cols).join(toks, "doc_id")
+    part = [group_col] if group_col else [F.lit(1)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(*cols, "n_tokens", "cum_tokens")
+    )
+
+
 def source_stats(docs: "DataFrame") -> "DataFrame":
     """(source, n_docs, total_tokens, keep_rate, mean_rep, dup_rate) —
     per-SOURCE quality rollup: the domain-level curation view (web corpora

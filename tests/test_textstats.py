@@ -364,3 +364,27 @@ def test_curation_pipeline_stages_prune(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     kept = {r["doc_id"] for r in textstats.curation_pipeline(docs).collect()}
     assert kept == {1}
+
+
+def test_token_budget_sample_semantics(spark):
+    """Budget is a floor on kept tokens per group: every group's kept set
+    reaches >= budget (or everything if the group is smaller), the boundary
+    doc is kept, membership is deterministic, and dropping any kept doc
+    would leave the prefix under budget (minimality in md5 order)."""
+    rows = [(i, " ".join(["w"] * (10 + i % 7)), f"g{i % 3}") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budget = 100
+    got = textstats.token_budget_sample(docs, budget, group_col="source")
+    per_group = {}
+    for r in got.collect():
+        per_group.setdefault(r["source"], []).append(r)
+    assert set(per_group) == {"g0", "g1", "g2"}
+    for g, kept in per_group.items():
+        kept.sort(key=lambda r: r["cum_tokens"])
+        total = kept[-1]["cum_tokens"]
+        assert total >= budget  # floor semantics
+        # minimal prefix: without its last doc the budget is NOT met
+        assert total - kept[-1]["n_tokens"] < budget
+    # determinism
+    again = textstats.token_budget_sample(docs, budget, group_col="source")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
