@@ -886,6 +886,12 @@ def _ensure_cached(path: str, marker: str, build) -> None:
         os.replace(tmplink, path)  # atomic link swap; last writer wins
     except OSError:
         shutil.rmtree(target, ignore_errors=True)
+        # losing the swap is only OK if a CONCURRENT publisher won it: the
+        # caller is about to read path/marker, so fail HERE if nobody did
+        # (e.g. a stale tmplink dir or an unrenamable legacy dir), instead
+        # of handing the caller a missing artifact (ADVICE r04)
+        if not os.path.exists(os.path.join(path, marker)):
+            raise
         return
     # opportunistic reap of OLD redundant targets/legacy dirs (never fresh
     # ones — a reader may still hold them): age > 1h

@@ -335,10 +335,17 @@ def main() -> None:
                 batch_secs.append(round(time.perf_counter() - t, 3))
                 break
             batch_secs.append(round(time.perf_counter() - t, 3))
-        surv = spark.read.option("basePath", s_store).parquet(
-            f"{s_store}/batch=*"
-        )
-        n_surv = surv.count()
+        # if batch 0 timed out before ANY signature partition landed, the
+        # glob read raises path-not-found and would crash the bench —
+        # defeating the point of recording the truncation (ADVICE r04)
+        import glob as _glob
+
+        if _glob.glob(f"{s_store}/batch=*"):
+            n_surv = spark.read.option("basePath", s_store).parquet(
+                f"{s_store}/batch=*"
+            ).count()
+        else:
+            n_surv = 0
         timings["stream_stress_total"] = round(sum(batch_secs), 3)
         spread["stream_stress_total"] = [
             timings["stream_stress_total"], timings["stream_stress_total"]

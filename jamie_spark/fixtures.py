@@ -45,6 +45,18 @@ _T_DRUG_SCHED = ("drug", "の投与を予定している。")
 _T_TESTVAL = ("key", "は", "val", "であった。")
 _T_JASP = ("time", "、", "anat", "　", "dis", "あり。")
 _T_PLAIN = ("その後、経過は良好である。",)
+# two key/value pairs in ONE sentence: each value must link to its nearest
+# PRECEDING key only (reference value-relation semantics; the stand-in's
+# max(preceding) rule). Probes the all-pairs failure mode a single-pair
+# sentence can never catch — the r4 compiled checkpoint linked both values
+# to both keys here.
+_T_TESTVAL2 = ("key", "は", "val", "、", "key", "は", "val", "であった。")
+# a multi-subword drug between the disease and the 疑 cue: the cue sits
+# within 6 WORDS of the span (the stand-in's window) but, when the drug
+# splits into 3 pieces, beyond 6 SUBWORDS — probes word-exact window
+# accounting in the compiled forward (the r4 checkpoint missed the cue and
+# decoded 'positive').
+_T_SUSPECT_FAR = ("dis", "の", "drug", "投与後も疑いが残る。")
 
 TEMPLATES = [
     _T_FINDING,
@@ -55,6 +67,8 @@ TEMPLATES = [
     _T_TESTVAL,
     _T_JASP,
     _T_PLAIN,
+    _T_TESTVAL2,
+    _T_SUSPECT_FAR,
 ]
 
 _ROLES = {"dis", "anat", "drug", "time", "key", "val"}
@@ -78,6 +92,8 @@ _TEMPLATE_MOD = {
     id(_T_TESTVAL): {},
     id(_T_JASP): {"dis": "positive"},
     id(_T_PLAIN): {},
+    id(_T_TESTVAL2): {},
+    id(_T_SUSPECT_FAR): {"dis": "suspicious", "drug": "executed"},
 }
 
 _EN_WORDS = (

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .standin import MODEL_VERSION
-from .subword import MAX_SUBWORDS, tokenize_subwords
+from .subword import MAX_SUBWORDS, subword_count
 from .textnorm import SEP, extract_text, zen_to_han
 from .tokenizer import (
     TOKENIZER_VERSION,
@@ -87,8 +87,7 @@ def _over_length(toks: list[str], subword_vocab: set[str] | None) -> bool:
     if len(toks) > MAX_SUBWORDS:
         return True
     if subword_vocab is not None:
-        sbw, _ = tokenize_subwords(toks, subword_vocab)
-        return len(sbw) > MAX_SUBWORDS
+        return subword_count(toks, subword_vocab) > MAX_SUBWORDS
     return False
 
 
@@ -109,7 +108,10 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
     unit matches what the T12 gate measures: SUBWORDS when the active
     extractor has a subword encoder (reference bert_sent_len,
     utils.py:651-664 — packing by words and gating by subwords would
-    silently drop whole trunks), plain word tokens for the stand-in.
+    silently drop whole trunks). Every shipped provider — stand-in, numpy,
+    torch — now carries a subword vocab, so trunk packing is
+    provider-invariant; the word-token fallback remains for vocab-less
+    custom extractors.
     """
     sent_toks = [tokenize(s) for s in split_sentences(body)]
     if mode == "sentence":
@@ -121,7 +123,7 @@ def _doc_units(body: str, mode: str, vocab: set[str] | None):
         raise ValueError(f"unknown annotate mode: {mode!r}")
     if vocab is not None:
         lens = [
-            len(tokenize_subwords(t, vocab)[0]) + 1 for t in sent_toks
+            subword_count(t, vocab) + 1 for t in sent_toks
         ]
     else:
         lens = [len(t) + 1 for t in sent_toks]

@@ -27,20 +27,24 @@ Two parts:
   relation pair rules as bilinear selection forms. The compiled checkpoint's
   pipeline output is value-identical to the stand-in gold on the fixture
   corpus (pinned by tests/test_npmodel.py) — the analog of the reference
-  model scoring ~1.0 on its own training distribution. Known compiled-grammar
-  approximations, irrelevant on the fixture distribution and documented here
-  for honesty: the t-val->t-key rule links ALL (val, key) pairs rather than
-  nearest-preceding (fixture sentences have exactly one of each); mixed
-  suspicion+negation windows resolve by priority rather than token order
-  (the fixture grammar never mixes them); and the modality context window
-  counts _MOD_WINDOW SUBWORDS where the stand-in counts 6 word tokens —
-  equivalent only while the window contains single-subword words, which
-  holds on the fixture templates (entities never appear in another
-  entity's forward window) but diverges if a multi-subword word pushes a
-  cue past the subword horizon. NOT an approximation: the DCT self-loop
-  head is position-exact — the selection features carry [i, i^2, 1] and the
-  On form scores 48*dft_i*dft_j - 100*(i-j)^2 - 10, so only true self-loops
-  fire even with multiple diseases in one unit (pinned by test).
+  model scoring ~1.0 on its own training distribution. One remaining
+  compiled-grammar approximation, irrelevant on the fixture distribution and
+  documented for honesty: mixed suspicion+negation windows resolve by
+  priority rather than token order (the fixture grammar never mixes them).
+  EXACT since r5 (each previously listed as an approximation, now pinned by
+  a fixture template that FAILED on the prior weights): the t-val->t-key
+  rule links the nearest PRECEDING key only — a causal cumulative key-count
+  feature kc (prefix sum of the key-final unit over live positions) feeds
+  the bilinear form 48*val_i*key_j - 100*(kc_i - kc_j)^2 - 10, positive iff
+  the key is the latest one at-or-before the value (any intervening or
+  following key shifts kc by >= 1 and pays -100); and the modality context
+  window counts 6 WORDS exactly like the stand-in — a word-start prefix
+  count over the subword window gates each cue offset
+  (relu(cue@d - relu(wordstarts(1..d) - 6))), so a multi-subword word in
+  the window no longer pushes a cue past the horizon. Also exact: the DCT
+  self-loop head — the selection features carry [i, i^2, 1] and the On form
+  scores 48*dft_i*dft_j - 100*(i-j)^2 - 10, so only true self-loops fire
+  even with multiple diseases in one unit (pinned by test).
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ from .subword import UNK, wordpiece
 
 #: bump when the compiled architecture or the rule lowering changes — cached
 #: checkpoint dirs key on this (see __spark_entry__)
-CHECKPOINT_VERSION = "np-standin-2"
+CHECKPOINT_VERSION = "np-standin-3"
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +113,11 @@ class NumpyJointExtractor(BatchedJointExtractor):
         # embedding + segment lookup (the BERT input composition; the
         # compiled checkpoint's segment table is zero but the term is live)
         X = w["emb"][ids] + w["seg"][seg]                 # (B, L, D)
+        # mask padded positions explicitly: the compiled checkpoint zeroes
+        # the [PAD] embedding row, but arbitrary weights.npz dirs need not —
+        # without this, a nonzero PAD row would leak into neighbors' context
+        # windows in mixed-length batches
+        X = np.where(attn[..., None], X, 0.0)
 
         # windowed stack: concat of the embedding at each relative offset,
         # zero beyond the frame — the local-context encoder input
@@ -116,9 +125,11 @@ class NumpyJointExtractor(BatchedJointExtractor):
         D = X.shape[-1]
         Xw = np.zeros((B, L, len(offsets) * D))
         for oi, d in enumerate(offsets):
-            lo_src, hi_src = max(0, d), min(L, L + d)
-            lo_dst, hi_dst = max(0, -d), min(L, L - d)
-            Xw[:, lo_dst:hi_dst, oi * D:(oi + 1) * D] = X[:, lo_src:hi_src]
+            n = L - abs(d)
+            if n <= 0:
+                continue  # offset reaches past the whole frame
+            src, dst = (d, 0) if d >= 0 else (0, -d)
+            Xw[:, dst:dst + n, oi * D:(oi + 1) * D] = X[:, src:src + n]
         # zero out padded positions' own contribution (they hold [PAD]'s
         # embedding row, which the compiler keeps zero anyway)
         H = Xw
@@ -148,6 +159,17 @@ class NumpyJointExtractor(BatchedJointExtractor):
         f = np.concatenate(
             [f, np.broadcast_to(pf, (B, L, 3))], axis=-1
         )
+        # causal cumulative channels (optional "wc" weight): a prefix sum of
+        # selected unit activations over live positions, appended as [c, c^2]
+        # per channel — lets bilinear heads express order-dependent pair
+        # constraints (e.g. "nearest preceding key": kc_i == kc_j) the same
+        # way [pos, pos^2, 1] expresses locality. Feature layout after this
+        # block: [Wsel outputs, pos, pos^2, 1, c_0..c_{C-1}, c_0^2..c_{C-1}^2]
+        if "wc" in w:
+            c = Hfin @ w["wc"]                            # (B, L, C)
+            c = np.where(attn[..., None], c, 0.0)
+            c = np.cumsum(c, axis=1)
+            f = np.concatenate([f, c, c * c], axis=-1)
 
         ner_labels = self._labels["ner2ix"]
         mod_labels = self._labels["mod2ix"]
@@ -212,7 +234,12 @@ SPLIT_SURFACE_WORDS = {
     "肺癌": ["肺", "##癌"],
     "骨折": ["骨", "##折"],
     "血糖値": ["血糖", "##値"],
-    "アスピリン": ["アスピ", "##リン"],
+    # 3 pieces on purpose: inside a modality context window this word costs
+    # 3 subwords but 1 word, so the word-exact window gating (and the
+    # _T_SUSPECT_FAR fixture template) is actually exercised — under the
+    # old 6-SUBWORD window the cue fell past the horizon and modality
+    # decoded wrong
+    "アスピリン": ["アス", "##ピ", "##リン"],
 }
 
 _MOD_LABELS = [
@@ -221,10 +248,12 @@ _MOD_LABELS = [
 ]
 _REL_LABELS = ["N", "region", "timeOnset", "value", "On"]
 
-#: forward context window in SUBWORDS for the modality rules — matches the
-#: stand-in's 6-WORD window (standin._modality) only while window words are
-#: single-subword; see the module docstring's approximation list
-_MOD_WINDOW = 6
+#: forward context window for the modality rules, in WORDS — the stand-in's
+#: exact window (standin._modality looks at tokens[end:end+6]). The compiled
+#: network realizes it over SUBWORD offsets: a cue at subword offset d counts
+#: iff the number of word-start pieces in (0, d] is <= this (a word-start is
+#: any piece without the "##" continuation prefix)
+_MOD_WINDOW_WORDS = 6
 
 
 class _Rows:
@@ -283,6 +312,32 @@ def _template_tokens() -> set[str]:
     return toks
 
 
+def fixture_vocab() -> list[str]:
+    """The compiled checkpoint's WordPiece vocabulary (deterministic function
+    of the concept dictionary + template literals + the deliberate splits).
+
+    Shared with the stand-in provider (standin.StandInJointExtractor sets it
+    as ``subword_vocab``) so the T12 length gate and the doc-mode trunk
+    packing count the SAME subword units under every provider — the
+    reference packs trunks by subword length (``bert_sent_len``,
+    reference utils.py:651-664), so provider-invariant packing requires one
+    shared vocabulary, not per-provider accounting."""
+    from .tokenizer import JASP
+
+    entries = _entity_entries()
+    split_whole_words = set(SPLIT_SURFACE_WORDS)
+    vocab = ["[PAD]", UNK, "[CLS]", "[SEP]", JASP]
+    seen = set(vocab)
+    pool: set[str] = set(_template_tokens())
+    for _, _, pieces in entries:
+        pool.update(pieces)
+    for tok in sorted(pool):
+        if tok not in seen and tok not in split_whole_words:
+            vocab.append(tok)
+            seen.add(tok)
+    return vocab
+
+
 def compile_fixture_checkpoint(out_dir: str) -> str:
     """Lower the stand-in rule grammar into a numpy checkpoint dir.
 
@@ -308,15 +363,10 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
     split_whole_words = set(SPLIT_SURFACE_WORDS)
 
     # -- vocabulary ----------------------------------------------------------
-    vocab = ["[PAD]", UNK, "[CLS]", "[SEP]", JASP]
-    seen = set(vocab)
+    vocab = fixture_vocab()
     pool: set[str] = set(_template_tokens())
     for _, _, pieces in entries:
         pool.update(pieces)
-    for tok in sorted(pool):
-        if tok not in seen and tok not in split_whole_words:
-            vocab.append(tok)
-            seen.add(tok)
     tok_ix = {t: i for i, t in enumerate(vocab)}
     vset = set(vocab)
 
@@ -341,19 +391,33 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
     }
     for cname, toks in classes.items():
         assert toks, f"feature class {cname} matched no vocab token"
+        # word-exact windows assume every cue is a word-START piece (the
+        # stand-in matches cues against whole word tokens)
+        assert all(not t.startswith("##") for t in toks), (cname, toks)
 
     # -- window ----------------------------------------------------------------
+    # forward reach: a cue at word distance <= 6 can sit at most this many
+    # SUBWORDS away (5 intervening window words, each at worst max_piece
+    # pieces, + the cue's own first piece)
     max_len = max(len(p) for _, _, p in entries)
-    offsets = list(range(-(max_len - 1), _MOD_WINDOW + 1))
-    off_ix = {d: i for i, d in enumerate(offsets)}
+    max_piece = max(
+        [len(p) for p in SPLIT_SURFACE_WORDS.values()] + [1]
+    )
+    cue_reach = (_MOD_WINDOW_WORDS - 1) * max_piece + 1
+    offsets = list(range(-(max_len - 1), max(cue_reach, max_len - 1) + 1))
     V = len(vocab)
 
     def wname(d: int, tok: str) -> str:
         return f"win[{d}]:{tok}"
 
     win_names = [wname(d, t) for d in offsets for t in vocab]
+    #: word-start pieces: everything that does not continue a word. [PAD]
+    #: is harmless here — its embedding row is zero, so it never activates a
+    #: window input; [SEP]/[JASP] DO count, exactly like the stand-in counts
+    #: in-band separators as window tokens
+    word_starts = [t for t in vocab if not t.startswith("##")]
 
-    # -- L0: raw n-gram + presence units --------------------------------------
+    # -- L0: raw n-gram units + per-offset cue / word-overflow units ----------
     l0 = _Rows(win_names)
     for eid, (_, _, pieces) in enumerate(entries):
         for k in range(len(pieces)):
@@ -362,18 +426,23 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
                 {wname(j - k, p): 1.0 for j, p in enumerate(pieces)},
                 bias=-(len(pieces) - 1),
             )
-    for cname, toks in classes.items():
+    # over[d] = relu(#word-starts in (0, d] - 6): positive iff a cue at
+    # subword offset d lies BEYOND the 6-word window
+    for d in range(1, cue_reach + 1):
         l0.unit(
-            f"raw_{cname}",
+            f"over[{d}]",
             {
-                wname(d, t): 1.0
-                for d in range(1, _MOD_WINDOW + 1)
-                for t in toks
+                wname(o, t): 1.0
+                for o in range(1, d + 1)
+                for t in word_starts
             },
+            bias=-float(_MOD_WINDOW_WORDS),
         )
+        for cname, toks in classes.items():
+            l0.unit(f"cue[{cname},{d}]", {wname(d, t): 1.0 for t in toks})
     W0, b0, l0_names = l0.matrices()
 
-    # -- L1: prefix inhibition + inverted presence ----------------------------
+    # -- L1: prefix inhibition + word-gated cue units -------------------------
     longer_prefix: dict[int, list[int]] = {}
     for eid, (_, _, pieces) in enumerate(entries):
         longer_prefix[eid] = [
@@ -388,13 +457,20 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
             for oid in longer_prefix[eid]:
                 w[f"u[{oid},{k}]"] = -1.0
             l1.unit(f"v[{eid},{k}]", w)
+    # cuew[c,d] = relu(cue@d - over[d]): the cue at offset d counts only
+    # while it is within 6 WORDS (over=0); each extra word start beyond 6
+    # subtracts a full unit, so the gate is hard for every overshoot
     for cname in classes:
-        l1.unit(f"inv_{cname}", {f"raw_{cname}": -1.0}, bias=1.0)
+        for d in range(1, cue_reach + 1):
+            l1.unit(
+                f"cuew[{cname},{d}]",
+                {f"cue[{cname},{d}]": 1.0, f"over[{d}]": -1.0},
+            )
     W1, b1, l1_names = l1.matrices()
 
-    # -- L2: span-final sums (inputs to the L3 condition features) ------------
+    # -- L2: span-final sums + inverted window-presence flags -----------------
     l2 = _Rows(l1_names)
-    l2.carry(l1_names)
+    l2.carry([n for n in l1_names if n.startswith("v[")])
     tags = ["d", "a", "r", "TIMEX3", "t-key", "t-val"]
     for tag in tags:
         l2.unit(
@@ -404,6 +480,15 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
                 for eid, (etag, _, pieces) in enumerate(entries)
                 if etag == tag
             },
+        )
+    for cname in classes:
+        l2.unit(
+            f"inv_{cname}",
+            {
+                f"cuew[{cname},{d}]": -1.0
+                for d in range(1, cue_reach + 1)
+            },
+            bias=1.0,
         )
     W2, b2, l2_names = l2.matrices()
 
@@ -468,16 +553,31 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
     Wsel = np.zeros((len(fin_names), len(sel_feats)))
     for si, n in enumerate(sel_feats):
         Wsel[fin_ix[n], si] = 1.0
-    # + the forward's appended positional features [pos, pos^2, 1]
+    # one causal cumulative channel: kc = prefix count of key-final units —
+    # the forward appends [kc, kc^2] after the positional features
+    wc = np.zeros((len(fin_names), 1))
+    wc[fin_ix["last_t-key"], 0] = 1.0
+    # + the forward's appended features [pos, pos^2, 1, kc, kc^2]
     sf = {n: i for i, n in enumerate(sel_feats)}
     S = len(sel_feats)
     sf["pos"], sf["pos2"], sf["one"] = S, S + 1, S + 2
-    U = np.zeros((len(_REL_LABELS), S + 3, S + 3))
+    sf["kc"], sf["kc2"] = S + 3, S + 4
+    U = np.zeros((len(_REL_LABELS), S + 5, S + 5))
     brel = np.full(len(_REL_LABELS), -10.0)
     rel_ix = {r: i for i, r in enumerate(_REL_LABELS)}
     U[rel_ix["region"], sf["last_d"], sf["last_a"]] = 20.0
     U[rel_ix["timeOnset"], sf["last_d"], sf["last_TIMEX3"]] = 20.0
-    U[rel_ix["value"], sf["last_t-val"], sf["last_t-key"]] = 20.0
+    # nearest-PRECEDING key, EXACT: 48*val_i*key_j - 100*(kc_i - kc_j)^2
+    # - 10. kc is cumulative, so kc_i == kc_j holds exactly when key j is
+    # the latest key at-or-before position i: a key BETWEEN j and i, or a
+    # key j AFTER i (kc_j counts j itself), shifts the difference by >= 1
+    # and pays at least -100. The quadratic cancels identically at equality
+    # (200*kc_i*kc_j - 100*kc_i^2 - 100*kc_j^2 = 0), so the kept pair
+    # scores 48 - 10 = +38 at ANY absolute key count.
+    U[rel_ix["value"], sf["last_t-val"], sf["last_t-key"]] = 48.0
+    U[rel_ix["value"], sf["kc"], sf["kc"]] = 200.0
+    U[rel_ix["value"], sf["kc2"], sf["one"]] = -100.0
+    U[rel_ix["value"], sf["one"], sf["kc2"]] = -100.0
     # DCT self-loop, EXACT: 48*dft_i*dft_j - 100*(pos_i - pos_j)^2 - 10
     # (dft = 0.5 on fire -> diagonal score 48*0.25 - 10 = +2; any i != j
     # pays at least -100). Quadratic positional form expanded bilinearly.
@@ -502,7 +602,7 @@ def compile_fixture_checkpoint(out_dir: str) -> str:
         wg=wg, Wf=Wf, bf=bf,
         Wner=Wner, bner=bner, trans=trans,
         Wmod=Wmod, bmod=bmod,
-        Wsel=Wsel, U=U, brel=brel,
+        Wsel=Wsel, wc=wc, U=U, brel=brel,
     )
     sidecars = {
         "ner2ix": ner_ix,

@@ -53,10 +53,6 @@ class StandInJointExtractor:
     jamie_spark.infer); stateless after init.
     """
 
-    #: no subword encoder -> the T12 gate falls back to word count (an exact
-    #: gate for this provider: it consumes word tokens directly)
-    subword_vocab: set[str] | None = None
-
     def __init__(self) -> None:
         # (tok_tuple) -> tag ; tokenized with the pinned engine tokenizer so
         # dictionary spans align with input tokenization by construction.
@@ -64,6 +60,16 @@ class StandInJointExtractor:
         for surface, tag in concepts.surface_tag_pairs():
             self._dict[tuple(tokenize(surface))] = tag
         self._time_type = dict(concepts.TIMES)
+        # the SAME WordPiece vocabulary the compiled numpy checkpoint uses:
+        # the reference packs doc-mode trunks and gates T12 by SUBWORD count
+        # (bert_sent_len, reference utils.py:651-664), so all providers must
+        # account in one shared unit or doc-mode output becomes
+        # provider-dependent. The stand-in still DECODES over word tokens —
+        # the vocab only drives gating/packing in jamie_spark.infer.
+        # (lazy import: models imports this module at top level)
+        from .npmodel import fixture_vocab
+
+        self.subword_vocab: set[str] | None = set(fixture_vocab())
 
     # -- NER ---------------------------------------------------------------
 

@@ -217,6 +217,10 @@ def process_kg_dedup_batch(
         pages.select("doc_id", "text"),
         n=STREAM_SHINGLE_N,
         unit=STREAM_SHINGLE_UNIT,
+        # pages shorter than one shingle still get a whole-text signature
+        # row: tiny pages must dedup (at least exactly) and enter the
+        # store like everything else (ADVICE r04)
+        short_fallback=True,
     ).persist()
     try:
         prior = _prior_signatures(spark, store_dir, batch_id)

@@ -60,6 +60,17 @@ def wordpiece(token: str, vocab: set[str], max_chars: int = 100) -> list[str]:
     return pieces
 
 
+def subword_count(tokens: list[str], vocab: set[str]) -> int:
+    """Subword length of a word-token sequence WITHOUT materializing the
+    pieces — the T12 gate / doc-mode packing accounting (reference
+    ``bert_sent_len``, utils.py:651-664). In-vocab words are one set probe;
+    only out-of-vocab words pay the WordPiece walk."""
+    n = 0
+    for t in tokens:
+        n += 1 if t in vocab else len(wordpiece(t, vocab))
+    return n
+
+
 def tokenize_subwords(
     tokens: list[str], vocab: set[str]
 ) -> tuple[list[str], list[int]]:

@@ -376,15 +376,41 @@ def dedup_incremental(
 
 
 def minhash_signature_table(
-    docs: "DataFrame", n: int = 3, unit: str = "word"
+    docs: "DataFrame", n: int = 3, unit: str = "word",
+    short_fallback: bool = False,
 ) -> "DataFrame":
     """Public face of the PER-DOC signature table (doc_id + N_MINHASHES md5
     minima — the store row format; distinct from :func:`minhash_signatures`,
     which returns banded (doc_id, band_id, band_key) rows). For callers
     that need to compute signatures ONCE and both dedup with them and
     commit them (the streaming ingest loop: shingling is the dominant
-    per-batch cost, so recomputing for the commit step would double it)."""
-    return _minhash_sig_table(docs, n, unit=unit)
+    per-batch cost, so recomputing for the commit step would double it).
+
+    ``short_fallback=True`` closes the sub-shingle exemption (ADVICE r04):
+    a doc shorter than one shingle (< n chars for unit="char", < n words
+    for "word") yields NO shingles, hence no signature row — it would never
+    enter the store and never dedup, even as an exact url-for-url mirror.
+    The fallback treats the WHOLE text as the document's single shingle, so
+    its signature row is md5(k || text) per hash — identical short pages
+    collide on every band (exact dedup), distinct ones on none. The
+    predicate is the same length test the shingle producers use, a cheap
+    filter — not an anti-join that would re-shingle the batch."""
+    sig = _minhash_sig_table(docs, n, unit=unit)
+    if not short_fallback:
+        return sig
+    if unit == "char":
+        short = docs.where(F.length("text") < n)
+    else:
+        # same split as shingles()/_words: docs with < n space-words
+        short = docs.where(F.size(F.split(F.col("text"), " ")) < n)
+    fallback = short.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("text"))).alias(f"mh{k}")
+            for k in range(N_MINHASHES)
+        ],
+    )
+    return sig.unionByName(fallback)
 
 
 def dedup_against_signatures(
@@ -1059,8 +1085,24 @@ def token_budget_sample(
     "take N tokens per source/domain": rates fall out of budgets instead of
     hand-tuned fractions, and the kept set is reproducible bit-for-bit.
 
-    One window over (group, md5-order) — a single shuffle on the group key;
-    the cumulative sum is exact integer arithmetic, so the operator
+    Scale shape (the r4 single-window version was the one scale-killer the
+    r4 verdict found: ``Window.partitionBy(group)`` sorts EVERY doc of a
+    source — or ungrouped, the whole corpus — in one task): two-phase
+    prefix sum over md5-PREFIX buckets, the distributed-cumsum idiom.
+
+    1. bucket = first 2 hex chars of the md5 sort key: the bucket id is a
+       PREFIX of the key, so (bucket, key) order == key order and the
+       bucket split preserves walk order exactly;
+    2. per-(group, bucket) token sums — an ordinary parallel aggregation —
+       then running offsets across the at-most-256-buckets-per-group table
+       (tiny; its window is over bucket COUNTS, not rows);
+    3. buckets whose offset already meets the budget are dropped BEFORE any
+       per-row window (for a budget that keeps k docs only O(k) rows reach
+       the sort, however large the corpus); survivors get the intra-bucket
+       cumsum windowed per (group, bucket) — max partition = 1/256th of a
+       group — plus their bucket offset.
+
+    The cumulative sum stays exact integer arithmetic, so the operator
     value-oracles like the samplers. The boundary doc that CROSSES the
     budget is kept (budget is a floor on kept tokens, not a ceiling) —
     matching how corpus budgets are specified in practice ("at least N
@@ -1068,15 +1110,39 @@ def token_budget_sample(
     """
     toks = token_counts(docs)
     cols = ["doc_id"] + ([group_col] if group_col else [])
-    d = docs.select(*cols).join(toks, "doc_id")
-    part = [group_col] if group_col else [F.lit(1)]
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    gpart = [group_col] if group_col else []
+    d = (
+        docs.select(*cols)
+        .join(toks, "doc_id")
+        .withColumn("_k", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("_b", F.substring("_k", 1, 2))
+    )
+    bucket_sums = d.groupBy(*gpart, "_b").agg(
+        F.sum("n_tokens").alias("_bsum")
+    )
+    w_off = (
+        Window.partitionBy(*(gpart or [F.lit(1)]))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucket_sums.withColumn(
+            "_off", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
+        )
+        # a bucket starting at/after the budget keeps nothing (its first
+        # doc already has cum - n >= budget): prune it here so the per-row
+        # window below never sees beyond-budget buckets at all
+        .where(F.col("_off") < budget)
+        .select(*gpart, "_b", "_off")
+    )
+    w_in = (
+        Window.partitionBy(*gpart, "_b")
+        .orderBy("_k", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        d.join(F.broadcast(offsets), gpart + ["_b"])
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_in) + F.col("_off"))
         .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
         .select(*cols, "n_tokens", "cum_tokens")
     )

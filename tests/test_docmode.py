@@ -161,3 +161,44 @@ def test_doc_units_pack_by_subwords_when_vocab_present():
     # subword accounting: each 10-char word = 10 subwords -> sentences are
     # ~10x longer in subword units, forcing more trunks
     assert len(sbw_units) > len(word_units)
+
+
+def test_doc_mode_cross_provider_identical(spark, tmp_path):
+    """VERDICT r04 #4 'done' bar: doc-mode pipeline output is
+    provider-INVARIANT — the stand-in now shares the compiled checkpoint's
+    subword vocabulary (standin.subword_vocab = npmodel.fixture_vocab()), so
+    trunk packing, the T12 gate, and the (r5-exact) nearest-preceding value
+    rule all agree between the rule tagger and the real-weights forward."""
+    from jamie_spark import npmodel, pipeline
+
+    ckpt = npmodel.compile_fixture_checkpoint(str(tmp_path / "ck"))
+    pages = fixtures.pages_df(spark, 60, seed=11)
+    concepts = fixtures.concept_df(spark)
+    cols = ["url", "sent_id", "subj_surface", "pred", "obj_surface",
+            "subj_id", "obj_id", "subj_mod"]
+
+    def triples(spec):
+        r = pipeline.run_kg(pages, concepts, mode="document", model_spec=spec)
+        rows = sorted(
+            tuple(row)
+            for row in r["canonical_triples"].select(*cols).collect()
+        )
+        pipeline.release(r)
+        return rows
+
+    gold = triples(None)
+    got = triples(f"numpy:{ckpt}")
+    assert len(gold) > 0
+    assert got == gold
+
+
+def test_standin_vocab_matches_compiled_checkpoint(tmp_path):
+    """The packing-parity precondition: both providers count subwords with
+    ONE vocabulary (a drifted pair would silently re-open the r4 doc-mode
+    divergence)."""
+    from jamie_spark import npmodel
+    from jamie_spark.standin import StandInJointExtractor
+
+    ckpt = npmodel.compile_fixture_checkpoint(str(tmp_path / "ck"))
+    ex = npmodel.NumpyJointExtractor(ckpt)
+    assert StandInJointExtractor().subword_vocab == ex.subword_vocab

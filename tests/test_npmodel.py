@@ -152,3 +152,60 @@ def test_pipeline_value_identical(spark, ckpt):
     got = triples(f"numpy:{ckpt}")
     assert len(gold) > 0
     assert got == gold
+
+
+def test_two_keyval_pairs_nearest_preceding_only(ex):
+    """_T_TESTVAL2 probe (VERDICT r04 #5a): two key/value pairs in one
+    sentence — each value links to its nearest PRECEDING key only. The r4
+    compiled checkpoint linked every (val, key) pair (and both directions),
+    which this pins out via the causal kc cumulative feature."""
+    toks = tokenize("血圧は120mmHg、体温は38.2度であった。")
+    got = ex.annotate_sentence(toks)
+    assert got == REF.annotate_sentence(toks)
+    _, _, rels, heads = got
+    v1 = toks.index("120mmHg")       # 120mmHg final token
+    v2 = toks.index("度")            # 38.2度 final token
+    k1 = toks.index("血圧")
+    k2 = toks.index("体温")
+    assert rels[v1] == ["value"] and heads[v1] == [k1]
+    assert rels[v2] == ["value"] and heads[v2] == [k2]
+    # nothing else carries a value relation (no all-pairs leakage)
+    for i, rl in enumerate(rels):
+        if i not in (v1, v2):
+            assert "value" not in rl, (i, rl)
+
+
+def test_value_rule_cross_sentence_trunk(ex):
+    """Doc-mode trunk: two _T_TESTVAL sentences joined by [SEP] — each value
+    still links only to its own (nearest preceding) key across the whole
+    trunk, which is exactly where the r4 all-pairs approximation produced
+    the 10 extra doc-mode triples."""
+    s1 = tokenize("血圧は120mmHgであった。")
+    s2 = tokenize("血糖値は98mgdlであった。")
+    trunk = s1 + ["[SEP]"] + s2
+    got = ex.annotate_sentence(trunk)
+    assert got == REF.annotate_sentence(trunk)
+    _, _, rels, heads = got
+    n_value = sum(rl.count("value") for rl in rels)
+    assert n_value == 2
+
+
+def test_modality_cue_beyond_subword_horizon(ex):
+    """_T_SUSPECT_FAR probe (VERDICT r04 #5b): アスピリン compiles to THREE
+    subword pieces, pushing the 疑 cue to subword offset 7 while it stays at
+    word offset 5 — the stand-in's 6-word window must still see it. The r4
+    checkpoint counted 6 SUBWORDS and decoded 'positive'."""
+    toks = tokenize("肺炎のアスピリン投与後も疑いが残る。")
+    got = ex.annotate_sentence(toks)
+    assert got == REF.annotate_sentence(toks)
+    _, mod, _, _ = got
+    d_end = toks.index("肺炎")
+    r_end = toks.index("アスピリン")
+    assert mod[d_end] == "suspicious", mod
+    assert mod[r_end] == "executed", mod
+    # sanity: the cue really is past 6 subwords in the compiled vocab
+    from jamie_spark.subword import tokenize_subwords
+    sbw, wids = tokenize_subwords(toks, ex.subword_vocab)
+    d_sub_end = max(i for i, w in enumerate(wids) if w == d_end)
+    cue_sub = sbw.index("疑")
+    assert cue_sub - d_sub_end > 6, (sbw, d_sub_end, cue_sub)

@@ -419,3 +419,63 @@ def test_process_kg_dedup_batch_replay_idempotent(spark, tmp_path):
     )
     assert rows2 == rows1
     assert sig2 == sig1
+
+
+def test_stream_dedup_short_pages_not_exempt(spark, tmp_path):
+    """ADVICE r04: pages shorter than one char-shingle (< 8 chars) used to
+    get no signature row — never entering the store and never deduping.
+    The whole-text fallback signature closes that: a re-crawled tiny page
+    drops in the next batch, distinct tiny pages both survive."""
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "sigstore")
+    concepts = fixtures.concept_df(spark)
+
+    def batch_of(rows):
+        return spark.createDataFrame(
+            [
+                (url, None, None, text, "ja")
+                for url, text in rows
+            ],
+            fixtures.PAGES_DDL,
+        )
+
+    # batch 0: one tiny page (5 chars) + one normal page
+    streaming.process_kg_dedup_batch(
+        batch_of(
+            [
+                ("https://a.test/tiny", "骨折あり。"),
+                ("https://a.test/full", "昨日、左肺に肺癌を認める。"),
+            ]
+        ),
+        0, concepts, out, store,
+    )
+    sig0 = spark.read.parquet(store + "/batch=0")
+    assert sig0.count() == 2  # the tiny page IS in the store
+    # batch 1: exact mirror of the tiny page + a DIFFERENT tiny page
+    streaming.process_kg_dedup_batch(
+        batch_of(
+            [
+                ("https://mirror.test/tiny", "骨折あり。"),
+                ("https://b.test/other", "貧血なし。"),
+            ]
+        ),
+        1, concepts, out, store,
+    )
+    surv1 = {
+        r["doc_id"] for r in spark.read.parquet(store + "/batch=1").collect()
+    }
+    from jamie_spark.streaming import _page_doc_ids
+
+    ids = {
+        r["url"]: r["doc_id"]
+        for r in _page_doc_ids(
+            batch_of(
+                [
+                    ("https://mirror.test/tiny", "骨折あり。"),
+                    ("https://b.test/other", "貧血なし。"),
+                ]
+            )
+        ).collect()
+    }
+    assert ids["https://mirror.test/tiny"] not in surv1  # mirror dropped
+    assert ids["https://b.test/other"] in surv1          # distinct kept

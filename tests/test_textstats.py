@@ -1,6 +1,8 @@
 """Training-data op guards: the document-frequency cap on n-gram Jaccard
 (the quadratic-blowup guard for boilerplate shingles)."""
 
+from pyspark.sql import functions as F
+
 from jamie_spark import textstats
 
 
@@ -388,3 +390,61 @@ def test_token_budget_sample_semantics(spark):
     # determinism
     again = textstats.token_budget_sample(docs, budget, group_col="source")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_token_budget_two_phase_scale_shape(spark):
+    """VERDICT r04 'done' bar for the token_budget_sample scale fix: under a
+    90%-single-source skew the output is identical to the single-walk
+    semantics, and the per-row window partitions by (group, md5-prefix
+    BUCKET) — so no window partition can exceed ~1/256th of a source, where
+    the r4 plan put a whole source into one sort task."""
+    import contextlib
+    import hashlib
+    import io
+
+    n = 3000
+    rows = [
+        (i, " ".join(["w"] * (5 + i % 11)), "big" if i % 10 else f"s{i % 3}")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    budget = 700
+    out = textstats.token_budget_sample(docs, budget, group_col="source")
+    got = sorted(map(tuple, out.collect()))
+    # reference semantics: per-group md5-ordered walk, keep while the budget
+    # is not yet met BEFORE the doc
+    per: dict[str, list] = {}
+    for i, text, src in rows:
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        per.setdefault(src, []).append((k, i, len(text.split())))
+    exp = []
+    for src, lst in per.items():
+        cum = 0
+        for _, i, ntok in sorted(lst):
+            if cum < budget:
+                cum += ntok
+                exp.append((i, src, ntok, cum))
+    assert got == sorted(exp)
+    # plan shape: the per-row window (the one ordering by the md5 key _k)
+    # must include the bucket column _b in its partition spec
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    plan = buf.getvalue()
+    row_wins = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "_k#" in ln
+    ]
+    assert row_wins, "per-row window not found in plan"
+    assert all("_b#" in ln for ln in row_wins), row_wins
+    # and the skewed source really is split across many buckets
+    n_buckets = (
+        docs.where("source = 'big'")
+        .select(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 100
