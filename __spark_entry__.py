@@ -1039,6 +1039,58 @@ def _token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: training-sequence length for the packing entry — shared with the oracle
+_SEQ_LEN = 512
+
+
+def _sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing (textstats.sequence_pack): every doc assigned the
+    fixed-length training row its first token lands in along the per-source
+    md5 walk — exact integer div/mod over the two-phase distributed prefix
+    sum (same scale shape as token_budget_sample)."""
+    return textstats.sequence_pack(
+        _docs(spark, sf_dir), _SEQ_LEN, group_col="source"
+    )
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended to 3 of every 5
+    docs (the sf corpus is word-soup with no natural PII — without the
+    enrichment every count would be zero and the scrub a no-op, oracling
+    nothing). Pure column arithmetic, mirrored literally in the SQL twin."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(
+        F.lit(" contact u"), s(did), F.lit("@ex"), s(did % 3),
+        F.lit(".org now"),
+    )
+    ip = F.concat(
+        F.lit(" node 10."), s(did % 200), F.lit(".0."), s(did % 250),
+        F.lit(" up"),
+    )
+    phone = F.concat(
+        F.lit(" tel 03-"), s(did % 9000 + 1000), F.lit("-5678 end")
+    )
+    return _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0, email)
+            .when(did % 5 == 1, ip)
+            .when(did % 5 == 2, phone)
+            .otherwise(F.lit("")),
+        ),
+    )
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (textstats.pii_scrub): emails/IPv4s/phones
+    counted on raw text and replaced by typed placeholders in a fixed
+    order; the full scrubbed text is part of the oracle hash, so the
+    replacement semantics (not just the counts) are engine-pinned."""
+    return textstats.pii_scrub(_pii_docs(spark, sf_dir))
+
+
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5-HLL distinct-user estimate over events: the sketch itself is
     engine-exact (md5 registers, decimal harmonic sum), so even an
@@ -1160,6 +1212,50 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stream-replay fixture shape: batch 0 = 40 pages; batch 1 = 20 fresh pages
+#: + 20 url-prefixed MIRRORS of batch-0 pages (exact re-crawls). Shared by
+#: the Spark entry and the oracle renderer so both replay the same crawl.
+_STREAM_B0_DOCS, _STREAM_B0_SEED = 40, 77
+_STREAM_F1_DOCS, _STREAM_F1_SEED = 20, 78
+_STREAM_M1_DOCS = 20
+_STREAM_F1_PREFIX = "https://f1.test/"
+_STREAM_M1_PREFIX = "https://m1.test/"
+
+
+def _stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest loop's EXACT batch-side code path
+    (streaming.process_kg_dedup_batch), value-oracled: replay a fixed
+    2-batch crawl — batch 1 half mirrors of batch 0 — through
+    dedup-against-store -> extract -> commit-signatures, and return the
+    surviving triples of both batches. Deterministic given (store, batch)
+    and replay-idempotent (batch-keyed overwrites, strictly-prior store
+    reads), so repeated driver invocations converge to the same rows; the
+    per-PID base dir isolates concurrent processes. Closes the one
+    rows-only tier: N7 was previously verified by pytest alone."""
+    import os as _os
+
+    from jamie_spark import streaming
+
+    base = f"/tmp/jamie_stream_replay_{_os.getpid()}"
+    out, store = f"{base}/out", f"{base}/store"
+    concepts = fixtures.concept_df(spark)
+    b0 = fixtures.pages_df(spark, _STREAM_B0_DOCS, seed=_STREAM_B0_SEED)
+    fresh = fixtures.pages_df(
+        spark, _STREAM_F1_DOCS, seed=_STREAM_F1_SEED
+    ).withColumn("url", F.concat(F.lit(_STREAM_F1_PREFIX), F.col("url")))
+    mirrors = fixtures.pages_df(
+        spark, _STREAM_M1_DOCS, seed=_STREAM_B0_SEED
+    ).withColumn("url", F.concat(F.lit(_STREAM_M1_PREFIX), F.col("url")))
+    streaming.process_kg_dedup_batch(b0, 0, concepts, out, store)
+    streaming.process_kg_dedup_batch(
+        fresh.unionByName(mirrors), 1, concepts, out, store
+    )
+    return streaming.read_stream_output(spark, out).select(
+        "url", "sent_id", "subj_surface", "pred", "obj_surface",
+        "subj_id", "obj_id",
+    )
+
+
 def _dedup_passages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined passage sampling (md5(passage) % stride == 0):
     offset-exact repeated-block detection at the strided variant's volume."""
@@ -1183,41 +1279,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     preceding round.
     """
     return {
-        # --- r03-unchecked head (never-oracled or changed-since-green) ---
-        "dedup_passages": _dedup_passages,
-        "dedup_passages_cdc": _dedup_passages_cdc,
-        "dedup_incremental": _dedup_incremental,
-        "sim_int8_topk": _int8_topk,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "doc_fingerprint": _fingerprints,
-        "sim_cosine_topk": _cosine_topk,
-        "sim_lsh_topk": _lsh_topk,
-        "sim_ivf_topk": _ivf_topk,
-        # KG construction family
-        "kg_mentions": _kg_mentions,
-        "kg_triples_window": _kg_triples_window,
+        # --- the 19 entries whose newest green row is r03 (rotated tail of
+        # --- r04) lead, per the rotation policy: nothing goes more than one
+        # --- round unchecked
+        "r10_length_filter": _r10_length_filter,
+        "r8_kfold": _r8_kfold,
+        "r5_histogram": _r5_histogram,
+        "sample_events": _sample_events,
+        "percentiles": _percentiles,
+        "approx_distinct_hll": _approx_distinct,
+        "q3_shipping_topk": _q3_shipping_topk,
+        "q5_regional_revenue": _q5_regional_revenue,
+        "token_counts": _token_counts,
+        "token_counts_bpe": _token_counts_bpe,
+        "text_quality": _quality,
+        "lang_id": _lang_id,
+        "quality_filter": _quality_filter,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _ngram_jaccard,
+        "dedup_minhash_lsh": _minhash_pairs,
+        "dedup_near_pairs": _near_dup_pairs,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_simhash": _simhash,
+        # --- new or r05-modified (changed plan or changed fixture corpus):
+        # --- must sit inside the 50-key driver window
+        "stream_dedup_replay": _stream_dedup_replay,
+        "sequence_pack": _sequence_pack,
+        "pii_scrub": _pii_scrub,
+        "token_budget_sample": _token_budget_sample,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_pipeline_triples_numpy": _kg_pipeline_triples_numpy,
         "kg_pipeline_triples_doc": _kg_pipeline_triples_doc,
+        # --- r04-green remainder rotated into the window
+        "kg_mentions": _kg_mentions,
+        "kg_triples_window": _kg_triples_window,
         "kg_canon_components": _kg_canon_components,
         "kg_link_rerank": _kg_link_rerank,
-        # KG graph analytics (kgstats)
-        "kg_degrees": _kg_degrees,
-        "kg_two_hop": _kg_two_hop,
-        "kg_triangles": _kg_triangles,
-        "kg_pagerank": _kg_pagerank,
-        "kg_communities": _kg_communities,
-        "kg_kcore": _kg_kcore,
-        "kg_entity_sim": _kg_entity_sim,
-        "kg_entity_sim_zipf": _kg_entity_sim_zipf,
-        "kg_ntriples": _kg_ntriples,
         "n3_window_top1": _n3_window_top1,
-        "n5_partition_hist": _n5_partition_hist,
         "e2_eval_prf": _e2_eval_prf,
         "e3_rel_strict": _e3_rel_strict,
-        "e3_rel_relax": _e3_rel_relax,
         "e4_mod_family": _e4_mod_family,
-        # relational glue (SURVEY.md §2.3)
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
         "broadcast_dim_join": _broadcast_dim_join,
@@ -1234,31 +1335,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _quality_repetition,
         "decontam_overlap": _decontam_overlap,
         "sample_stratified": _sample_stratified,
+        # ---- position-50 cutoff: everything below was green in r04 on code
+        # ---- untouched this round, and rotates into the head next round
         "source_quality_rollup": _source_quality_rollup,
         "curation_pipeline": _curation_pipeline,
-        "token_budget_sample": _token_budget_sample,
-        # ---- position-50 cutoff: everything below was green in r03 and ----
-        # ---- rotates into the head next round                          ----
-        "r10_length_filter": _r10_length_filter,
-        "r8_kfold": _r8_kfold,
-        "r5_histogram": _r5_histogram,
-        "sample_events": _sample_events,
-        "percentiles": _percentiles,
-        "approx_distinct_hll": _approx_distinct,
-        "q3_shipping_topk": _q3_shipping_topk,
-        "q5_regional_revenue": _q5_regional_revenue,
-        # training-data ops
-        "token_counts": _token_counts,
-        "token_counts_bpe": _token_counts_bpe,
-        "text_quality": _quality,
-        "lang_id": _lang_id,
-        "quality_filter": _quality_filter,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _ngram_jaccard,
-        "dedup_minhash_lsh": _minhash_pairs,
-        "dedup_near_pairs": _near_dup_pairs,
-        "dedup_clusters": _dedup_clusters,
-        "dedup_simhash": _simhash,
+        "dedup_passages": _dedup_passages,
+        "dedup_passages_cdc": _dedup_passages_cdc,
+        "dedup_incremental": _dedup_incremental,
+        "sim_int8_topk": _int8_topk,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "doc_fingerprint": _fingerprints,
+        "sim_cosine_topk": _cosine_topk,
+        "sim_lsh_topk": _lsh_topk,
+        "sim_ivf_topk": _ivf_topk,
+        "kg_degrees": _kg_degrees,
+        "kg_two_hop": _kg_two_hop,
+        "kg_triangles": _kg_triangles,
+        "kg_pagerank": _kg_pagerank,
+        "kg_communities": _kg_communities,
+        "kg_kcore": _kg_kcore,
+        "kg_entity_sim": _kg_entity_sim,
+        "kg_entity_sim_zipf": _kg_entity_sim_zipf,
+        "kg_ntriples": _kg_ntriples,
+        "n5_partition_hist": _n5_partition_hist,
+        "e3_rel_relax": _e3_rel_relax,
     }
 
 
@@ -1578,7 +1678,8 @@ def _grams_sql(col: str) -> str:
 
 
 def _kg_pipeline_oracle_sql(
-    n_docs: int = 150, seed: int = 42, doc_mode: bool = False
+    n_docs: int = 150, seed: int = 42, doc_mode: bool = False,
+    pages_cte: str | None = None,
 ) -> str:
     """The ENTIRE fixture KG pipeline re-expressed in DuckDB SQL: sentence
     split + pinned tokenizer (as RE2), greedy dictionary NER, the stand-in
@@ -1606,11 +1707,13 @@ def _kg_pipeline_oracle_sql(
     from jamie_spark.textnorm import zen_to_han as _z2h
     from jamie_spark.tokenizer import tokenize as _tok
 
-    pages, _, _, _ = fixtures.gen_corpus(n_docs, seed)
-    page_vals = ", ".join(
-        f"({_sql_str(p['url'])}, {_sql_str(p['text'])}, '{p['lang']}')"
-        for p in pages
-    )
+    if pages_cte is None:
+        pages, _, _, _ = fixtures.gen_corpus(n_docs, seed)
+        page_vals = ", ".join(
+            f"({_sql_str(p['url'])}, {_sql_str(p['text'])}, '{p['lang']}')"
+            for p in pages
+        )
+        pages_cte = f"pages(url, text, lang) AS (VALUES {page_vals})"
     dict_vals = []
     for surface, tag in _c.surface_tag_pairs():
         toks = _tok(surface)
@@ -1657,7 +1760,7 @@ sents AS (
     unit_cte = doc_cte if doc_mode else sent_cte
     return f"""
 WITH RECURSIVE
-pages(url, text, lang) AS (VALUES {page_vals}),
+{pages_cte},
 dictt(tag, surface, toklist, width) AS (VALUES {', '.join(dict_vals)}),
 semmap(tag, sem) AS (VALUES {sem_vals}),
 dic(concept_id, alias_norm, sem_type) AS (VALUES {dic_vals}),
@@ -1941,6 +2044,151 @@ def _minhash_sql() -> str:
 WITH {_minhash_cand_ctes()}
 SELECT doc_a, doc_b FROM cand
 """
+
+
+def _stream_replay_sql() -> str:
+    """stream_dedup_replay twin: the whole 2-batch ingest loop in SQL —
+    char-shingle MinHash signatures (with the short-page whole-text
+    fallback), intra-batch-0 self-dedup (keep-min), batch-1 dedup against
+    batch-0 SURVIVORS' store (band-capped) plus its own intra-batch pass,
+    then the full pipeline CTE chain over the union of survivors. The crawl
+    is rendered from the same generator constants the Spark entry uses."""
+    from jamie_spark import streaming as _st
+
+    K = textstats.N_MINHASHES
+    rows_pb = K // textstats.N_MINHASH_BANDS
+    n = _st.STREAM_SHINGLE_N
+    agree_min = _st.STREAM_DEDUP_MIN_AGREE
+    cap = textstats.MAX_BAND_BUCKET
+
+    crawl = []
+    b0, _, _, _ = fixtures.gen_corpus(_STREAM_B0_DOCS, _STREAM_B0_SEED)
+    f1, _, _, _ = fixtures.gen_corpus(_STREAM_F1_DOCS, _STREAM_F1_SEED)
+    m1, _, _, _ = fixtures.gen_corpus(_STREAM_M1_DOCS, _STREAM_B0_SEED)
+    for p in b0:
+        crawl.append((0, p["url"], p["text"], p["lang"]))
+    for p in f1:
+        crawl.append((1, _STREAM_F1_PREFIX + p["url"], p["text"], p["lang"]))
+    for p in m1:
+        crawl.append((1, _STREAM_M1_PREFIX + p["url"], p["text"], p["lang"]))
+    vals = ", ".join(
+        f"({b}, {_sql_str(u)}, {_sql_str(t)}, '{lg}')"
+        for b, u, t, lg in crawl
+    )
+    mh_cols = ", ".join(
+        f"MIN(md5('{k}:' || shingle)) AS mh{k}" for k in range(K)
+    )
+    fb_cols = ", ".join(
+        f"md5('{k}:' || text) AS mh{k}" for k in range(K)
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + " || '|' || ".join(f"mh{b * rows_pb + r}" for r in range(rows_pb))
+            + f" AS band_key FROM {src}"
+            for b in range(textstats.N_MINHASH_BANDS)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN nn.mh{k} = ss.mh{k} THEN 1 ELSE 0 END" for k in range(K)
+    )
+    pages_cte = f"""
+rawpages(batch, url, text, lang) AS (VALUES {vals}),
+rp AS (
+    SELECT batch, url, text, lang,
+           ('0x' || substr(md5(url), 1, 15))::BIGINT AS doc_id
+    FROM rawpages
+),
+csh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, length(text) - {n} + 2),
+                  i -> substr(text, CAST(i AS INT), {n}))) AS shingle
+    FROM rp WHERE length(text) >= {n}
+),
+sig AS (
+    SELECT doc_id, {mh_cols} FROM csh GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, {fb_cols} FROM rp WHERE length(text) < {n}
+),
+bsig AS (SELECT r.batch, s.* FROM sig s JOIN rp r USING (doc_id)),
+b0s AS (SELECT * FROM bsig WHERE batch = 0),
+b0_bands AS ({band_rows('b0s')}),
+b0_store AS (
+    SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+        FROM b0_bands
+    ) WHERE rn <= {cap}
+),
+b0_drop AS (
+    SELECT DISTINCT c.new_id AS doc_id FROM (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS stored_id
+        FROM b0_bands a JOIN b0_store b USING (band_id, band_key)
+        WHERE a.doc_id > b.doc_id
+    ) c
+    JOIN b0s nn ON nn.doc_id = c.new_id
+    JOIN b0s ss ON ss.doc_id = c.stored_id
+    WHERE ({agree}) / {K}.0 >= {agree_min}
+),
+b0_surv AS (
+    SELECT doc_id FROM b0s
+    WHERE doc_id NOT IN (SELECT doc_id FROM b0_drop)
+),
+st AS (SELECT s.* FROM bsig s JOIN b0_surv USING (doc_id)),
+st_bands AS (
+    SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+        FROM ({band_rows('st')})
+    ) WHERE rn <= {cap}
+),
+b1s AS (SELECT * FROM bsig WHERE batch = 1),
+b1_bands AS ({band_rows('b1s')}),
+h_drop AS (
+    SELECT DISTINCT c.new_id AS doc_id FROM (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS stored_id
+        FROM b1_bands a JOIN st_bands b USING (band_id, band_key)
+        WHERE a.doc_id <> b.doc_id
+    ) c
+    JOIN b1s nn ON nn.doc_id = c.new_id
+    JOIN st ss ON ss.doc_id = c.stored_id
+    WHERE ({agree}) / {K}.0 >= {agree_min}
+),
+b1_store AS (
+    SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY band_id, band_key ORDER BY doc_id) AS rn
+        FROM b1_bands
+    ) WHERE rn <= {cap}
+),
+i1_drop AS (
+    SELECT DISTINCT c.new_id AS doc_id FROM (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS stored_id
+        FROM b1_bands a JOIN b1_store b USING (band_id, band_key)
+        WHERE a.doc_id > b.doc_id
+    ) c
+    JOIN b1s nn ON nn.doc_id = c.new_id
+    JOIN b1s ss ON ss.doc_id = c.stored_id
+    WHERE ({agree}) / {K}.0 >= {agree_min}
+),
+surv AS (
+    SELECT doc_id FROM b0_surv
+    UNION ALL
+    SELECT doc_id FROM b1s
+    WHERE doc_id NOT IN (SELECT doc_id FROM h_drop)
+      AND doc_id NOT IN (SELECT doc_id FROM i1_drop)
+),
+pages AS MATERIALIZED (
+    -- MATERIALIZED: the pipeline CTE chain references its inputs many
+    -- times; without the hint DuckDB re-inlines this whole dedup prelude
+    -- at every reference (measured 20s for `rels` alone vs 2s hinted)
+    SELECT r.url, r.text, r.lang FROM rp r JOIN surv USING (doc_id)
+)""".strip()
+    return _kg_pipeline_oracle_sql(pages_cte=pages_cte)
 
 
 def _verified_pairs_ctes(threshold: float = 0.5) -> str:
@@ -2646,6 +2894,46 @@ c AS (
 SELECT doc_id, source, n_tokens, cum_tokens
 FROM c WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
 """,
+        "sequence_pack": f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM t)
+SELECT doc_id, source, n_tokens,
+       (cum - n_tokens) // {_SEQ_LEN} AS seq_id,
+       (cum - n_tokens) % {_SEQ_LEN} AS seq_offset
+FROM c
+""",
+        "pii_scrub": f"""
+WITH p AS (
+    SELECT doc_id, text ||
+        CASE
+            WHEN doc_id % 5 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                 || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.org now'
+            WHEN doc_id % 5 = 1 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+            WHEN doc_id % 5 = 2 THEN ' tel 03-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                 || '-5678 end'
+            ELSE ''
+        END AS text
+    FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{textstats.PII_IPV4}', '<IP>', 'g'),
+           '{textstats.PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM p
+""",
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)
 SELECT a.user_id, a.ts, CAST(COUNT(b.ts) AS BIGINT) AS n_next
@@ -2797,6 +3085,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5
 """,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_incremental": _incremental_sql(),
+        "stream_dedup_replay": _stream_replay_sql(),
         "dedup_near_pairs": _near_dup_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -82,6 +82,15 @@ def run_kg_bench(
 
     pages = fixtures.pages_df_distributed(spark, n_docs, seed=42).cache()
     pages.count()
+    # one untimed FULL-SIZE pass before the clock: the r04 record showed the
+    # first timed run up to 2.4x the median (cold code paths the 2k-doc
+    # warmup does not reach at 40k-doc shuffle sizes), which made the
+    # kg_pipeline spread — and the headline docs/sec — a JIT artifact
+    wr = pipeline.run_kg(
+        pages, concepts, checkpoint_dir="/tmp/jamie_bench_ckpt_warm"
+    )
+    wr["canonical_triples"].count()
+    pipeline.release(wr)
     times, n = [], 0
     for run in range(n_runs):
         t0 = time.perf_counter()
@@ -162,6 +171,7 @@ def main() -> None:
         "dedup_passages",
         "dedup_passages_cdc",
         "dedup_incremental",
+        "stream_dedup_replay",
         "token_counts",
         "text_quality",
         "lang_id",
@@ -181,6 +191,14 @@ def main() -> None:
     ]
     qmap = entry_mod.queries()
     for name in bench_queries:
+        # drop every cached block BETWEEN queries: pipeline-building entries
+        # persist intermediates internally, and by r04 the accumulated cache
+        # pressure drifted 10+ UNCHANGED queries 1.2-1.7x slower in-session
+        # while isolated runs improved (VERDICT r04 'what's wrong' #2 — the
+        # same fix the stress stages got in r04). Intra-query runs stay
+        # warm: the median is a warm-query number, the cross-query state is
+        # what must not accumulate.
+        spark.catalog.clearCache()
         runs = []
         for _ in range(n_runs):
             t = time.perf_counter()

@@ -127,6 +127,47 @@ QUALITY_RULES = {
 }
 
 
+#: PII patterns, restricted to the regex subset Java (Spark) and RE2
+#: (DuckDB/the oracle) evaluate identically: literal classes, bounded
+#: repetition, \b word boundaries, non-capturing groups — no backrefs, no
+#: lookaround. Kept as module constants so the SQL twin renders the SAME
+#: strings.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b0\d{1,4}-\d{1,4}-\d{3,4}\b"
+
+
+def pii_scrub(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, n_emails, n_ips, n_phones, scrubbed) — PII detection +
+    redaction, the compliance pass a web-corpus pipeline runs before
+    training: emails / IPv4s / dashed phone numbers counted on the raw text
+    and replaced by typed placeholder tokens. Order matters and is part of
+    the contract: emails first (an address like u@10.0.0.7 must scrub as
+    ONE email, not leave a dangling '<EMAIL>'-adjacent IP), then IPs, then
+    phones. All-JVM regexp work (counts via regexp_extract_all, rewrite via
+    chained regexp_replace) — embarrassingly parallel, no shuffle, scales
+    as a pure map stage."""
+    t = F.col("text")
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
+        .cast("long")
+        .alias(name)
+        for name, p in (
+            ("n_emails", PII_EMAIL),
+            ("n_ips", PII_IPV4),
+            ("n_phones", PII_PHONE),
+        )
+    ]
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return docs.select("doc_id", *counts, scrubbed.alias("scrubbed"))
+
+
 def quality_filter(docs: "DataFrame") -> "DataFrame":
     """(doc_id, n_tokens, avg_word_len, stop_ratio, keep) — the Gopher-rule
     boolean filter composed over :func:`quality_scores`: documents outside
@@ -1108,9 +1149,29 @@ def token_budget_sample(
     matching how corpus budgets are specified in practice ("at least N
     tokens of X").
     """
-    toks = token_counts(docs)
     cols = ["doc_id"] + ([group_col] if group_col else [])
     gpart = [group_col] if group_col else []
+    cum = _md5_walk_cumsum(docs, gpart, max_cum=budget)
+    return (
+        cum.where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(*cols, "n_tokens", "cum_tokens")
+    )
+
+
+def _md5_walk_cumsum(
+    docs: "DataFrame", gpart: list[str], max_cum: int | None = None
+) -> "DataFrame":
+    """Distributed exact prefix sum of ``n_tokens`` along the md5(doc_id)
+    walk order, per group — the shared core of :func:`token_budget_sample`
+    and :func:`sequence_pack`. Two-phase shape (see token_budget_sample's
+    docstring for the scale rationale): md5-PREFIX buckets preserve walk
+    order, per-bucket sums aggregate in parallel, running offsets live on
+    the tiny bucket table, and the only per-row window is per
+    (group, bucket). ``max_cum`` prunes buckets whose offset already meets
+    it BEFORE the per-row window (budget callers never sort beyond-budget
+    rows). Returns doc_id[, group cols], n_tokens, cum_tokens."""
+    toks = token_counts(docs)
+    cols = ["doc_id"] + gpart
     d = (
         docs.select(*cols)
         .join(toks, "doc_id")
@@ -1125,16 +1186,14 @@ def token_budget_sample(
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        bucket_sums.withColumn(
-            "_off", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
-        )
-        # a bucket starting at/after the budget keeps nothing (its first
-        # doc already has cum - n >= budget): prune it here so the per-row
-        # window below never sees beyond-budget buckets at all
-        .where(F.col("_off") < budget)
-        .select(*gpart, "_b", "_off")
+    offsets = bucket_sums.withColumn(
+        "_off", F.coalesce(F.sum("_bsum").over(w_off), F.lit(0))
     )
+    if max_cum is not None:
+        # a bucket starting at/after the cap keeps nothing downstream: its
+        # first doc already has cum - n >= max_cum
+        offsets = offsets.where(F.col("_off") < max_cum)
+    offsets = offsets.select(*gpart, "_b", "_off")
     w_in = (
         Window.partitionBy(*gpart, "_b")
         .orderBy("_k", "doc_id")
@@ -1142,9 +1201,41 @@ def token_budget_sample(
     )
     return (
         d.join(F.broadcast(offsets), gpart + ["_b"])
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w_in) + F.col("_off"))
-        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_in) + F.col("_off")
+        )
         .select(*cols, "n_tokens", "cum_tokens")
+    )
+
+
+def sequence_pack(
+    docs: "DataFrame", seq_len: int, group_col: str | None = None
+) -> "DataFrame":
+    """(doc_id[, group], n_tokens, seq_id, seq_offset) — token-offset
+    SEQUENCE PACKING: lay documents end-to-end along the md5(doc_id) walk
+    (the same stable order every sampler here uses) and assign each doc the
+    fixed-length training sequence its first token lands in —
+    ``seq_id = (cum - n) DIV seq_len``, ``seq_offset = (cum - n) % seq_len``.
+    This is the LM-pretraining packing contract (docs concatenate into
+    seq_len-token rows and MAY span row boundaries); the tokenizer stage
+    downstream slices actual token ids by (seq_id, seq_offset) without any
+    further shuffle, because the assignment is a pure function of this
+    table. Grouped, it packs per source/domain (curriculum or per-domain
+    shards). Exact integer arithmetic over the distributed two-phase prefix
+    sum — same scale shape as token_budget_sample, value-oracles the same
+    way."""
+    cols = ["doc_id"] + ([group_col] if group_col else [])
+    gpart = [group_col] if group_col else []
+    cum = _md5_walk_cumsum(docs, gpart)
+    return cum.select(
+        *cols,
+        "n_tokens",
+        # integer div/mod keeps the assignment exact at any corpus size
+        # (a double division would lose exactness past 2^53 tokens)
+        F.expr(f"(cum_tokens - n_tokens) div {int(seq_len)}").alias("seq_id"),
+        F.expr(f"(cum_tokens - n_tokens) % {int(seq_len)}").alias(
+            "seq_offset"
+        ),
     )
 
 

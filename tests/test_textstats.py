@@ -448,3 +448,59 @@ def test_token_budget_two_phase_scale_shape(spark):
         .count()
     )
     assert n_buckets > 100
+
+
+def test_sequence_pack_assignment(spark):
+    """Docs laid end-to-end in md5 order per group: seq_id/seq_offset are the
+    integer div/mod of each doc's start offset, contiguous across docs."""
+    rows = [(i, " ".join(["w"] * (3 + i % 5)), f"g{i % 2}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = textstats.sequence_pack(docs, 16, group_col="source").collect()
+    import hashlib
+
+    per = {}
+    for i, text, src in rows:
+        k = hashlib.md5(str(i).encode()).hexdigest()
+        per.setdefault(src, []).append((k, i, len(text.split())))
+    exp = {}
+    for src, lst in per.items():
+        start = 0
+        for _, i, ntok in sorted(lst):
+            exp[i] = (src, ntok, start // 16, start % 16)
+            start += ntok
+    assert len(got) == 40
+    for r in got:
+        assert exp[r["doc_id"]] == (
+            r["source"], r["n_tokens"], r["seq_id"], r["seq_offset"]
+        )
+
+
+def test_pii_scrub_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and 10.0.0.7 plus 03-1234-5678 done"),
+            (2, "address u@1.2.3.4.example.org has an ip inside its domain"),
+            (3, "no pii here at all"),
+            (4, "version 1.2.3.4 and 255.255.255.255 both count"),
+            (5, "bare u@10.0.0.7 is not an email (no alpha tld) so the ip scrubs"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.pii_scrub(docs).collect()}
+    r1 = got[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 1, 1)
+    assert r1["scrubbed"] == "mail <EMAIL> and <IP> plus <PHONE> done"
+    # email-first ordering: a dotted-quad INSIDE an email's domain must
+    # scrub as part of ONE email, never split by the ip pass (the ip count
+    # on RAW text still sees those bytes — counts are detection signals,
+    # the scrub order is the redaction contract)
+    assert got[2]["scrubbed"] == "address <EMAIL> has an ip inside its domain"
+    assert got[2]["n_emails"] == 1 and got[2]["n_ips"] == 1
+    assert got[3]["scrubbed"] == "no pii here at all"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    assert got[4]["n_ips"] == 2
+    assert got[4]["scrubbed"] == "version <IP> and <IP> both count"
+    # an @ at a raw IP is NOT an email by the pattern (no alpha TLD): the
+    # ip pass redacts the dotted quad instead — nothing leaks either way
+    assert got[5]["n_emails"] == 0 and got[5]["n_ips"] == 1
+    assert "<IP>" in got[5]["scrubbed"] and "10.0.0.7" not in got[5]["scrubbed"]
