@@ -87,6 +87,14 @@ def _over_length(toks: list[str], subword_vocab: set[str] | None) -> bool:
     if len(toks) > MAX_SUBWORDS:
         return True
     if subword_vocab is not None:
+        # WordPiece pieces partition a word's characters (and [UNK] is one
+        # piece), so a sentence's subword count is bounded by its CHARACTER
+        # count: when the char total cannot cross the limit the exact walk
+        # is provably unnecessary — which is every normal sentence, keeping
+        # the hot path free of per-token vocab probes (measured ~10% of
+        # stand-in inference at 3.6M docs before this bound)
+        if sum(len(t) for t in toks) <= MAX_SUBWORDS:
+            return False
         return subword_count(toks, subword_vocab) > MAX_SUBWORDS
     return False
 
