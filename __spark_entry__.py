@@ -811,6 +811,50 @@ def _kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.to_ntriples(t)
 
 
+#: BFS hop cap — single source for the Spark entry and the oracle's
+#: depth-capped recursive CTE
+_BFS_MAX_HOPS = 6
+
+
+def _kg_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (kgstats.bfs_distances) from the
+    lexicographic-minimum vertex, capped at ``_BFS_MAX_HOPS`` directed hops.
+    The source fetch is one dictionary-sized scalar aggregation (same class
+    as the canon/link driver-side constants). Oracle: depth-capped recursive
+    CTE with MIN(d) per vertex — identical set arithmetic, no floats."""
+    from jamie_spark import kgstats
+
+    edges = _word_edges(spark, sf_dir)
+    source = edges.agg(F.min(F.least("src", "dst")).alias("m")).collect()[0][
+        "m"
+    ]
+    return kgstats.bfs_distances(edges, source, max_hops=_BFS_MAX_HOPS)
+
+
+def _kg_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (canon.incremental_components): the
+    even md5-half of the word-adjacency edges is the accumulated graph
+    (labeled by a full CC pass), the odd half arrives as the ingest batch
+    and is folded in touching only affected components. The contract — and
+    the oracle — is that incremental equals a FULL recompute over the union
+    (recursive min-reachability over all edges): the dedup_incremental
+    even/odd replay trick applied to continuous KG maintenance."""
+    edges = _word_edges(spark, sf_dir)
+    tag = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    )
+    e = edges.withColumn("tag", tag)
+    base = e.where(F.col("tag") == 0).drop("tag")
+    batch = e.where(F.col("tag") == 1).drop("tag")
+    labels = canon.connected_components(base)
+    return canon.incremental_components(labels, batch).select(
+        F.col("vertex").alias("node"), "component"
+    )
+
+
 #: BM25 query terms — single source for the Spark entry and the oracle
 _BM25_TERMS = ("spark", "stream", "sort")
 
@@ -1306,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": _stream_dedup_replay,
         "sequence_pack": _sequence_pack,
         "pii_scrub": _pii_scrub,
+        "kg_bfs_distances": _kg_bfs_distances,
+        "kg_incremental_canon": _kg_incremental_canon,
         "token_budget_sample": _token_budget_sample,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_pipeline_triples_numpy": _kg_pipeline_triples_numpy,
@@ -2596,6 +2642,32 @@ scored AS (
 SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
 """,
         "kg_canon_components": _canon_cc_sql(),
+        "kg_bfs_distances": f"""
+WITH RECURSIVE {_EDGES_CTE.strip()},
+srcv AS (SELECT MIN(least(src, dst)) AS s FROM edges),
+walk(v, d) AS (
+    SELECT s, 0 FROM srcv
+    UNION
+    SELECT e.dst, w.d + 1
+    FROM walk w JOIN edges e ON e.src = w.v
+    WHERE w.d < {_BFS_MAX_HOPS}
+)
+SELECT v AS node, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY v
+""",
+        "kg_incremental_canon": f"""
+WITH RECURSIVE {_EDGES_CTE.strip()},
+und AS (
+    SELECT src, dst FROM edges WHERE src <> dst
+    UNION
+    SELECT dst, src FROM edges WHERE src <> dst
+),
+reach(v, u) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.v, u.dst FROM reach r JOIN und u ON r.u = u.src
+)
+SELECT v AS node, MIN(u) AS component FROM reach GROUP BY v
+""",
         "kg_degrees": f"""
 WITH {_EDGES_CTE.strip()}
 SELECT n.node,

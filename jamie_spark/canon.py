@@ -304,3 +304,89 @@ def canonicalize_concepts(
     return concept_comp.join(canon, "component", "inner").select(
         "concept_id", "canonical_id"
     )
+
+
+def incremental_components(
+    labels: "DataFrame",
+    new_edges: "DataFrame",
+    max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+) -> "DataFrame":
+    """Fold a batch of NEW edges into an existing (vertex, component)
+    labeling without recomputing the whole graph — the incremental-KG-
+    maintenance primitive for a continuous crawl: each ingest batch adds
+    alias/entity edges, and re-running full CC over a 100 TB accumulated
+    graph per batch is exactly the non-scalable plan.
+
+    Requires the invariant ``connected_components`` establishes: a
+    component's id IS its minimum member vertex. Then incremental = full
+    recompute, by this argument: contracting every existing component to
+    its id preserves connectivity (components are connected), and the
+    minimum of a merged group of component ids equals the minimum over all
+    their member vertices (each id is already its component's minimum).
+
+    Plan shape (everything scales with the BATCH, not the corpus):
+      1. endpoint lookup: new-edge endpoints -> current component id (one
+         equi-join against the label table; vertices the labeling has never
+         seen stand for themselves);
+      2. contracted delta CC: star-CC over the batch-sized contracted edge
+         set (self-loops — edges internal to one existing component — drop
+         out first);
+      3. relabel: merged roots move only the AFFECTED components' rows —
+         the moved-roots map is at most 2x batch size, broadcast onto the
+         label table; untouched rows coalesce through unchanged. New
+         vertices append with their merged (or own) root.
+    """
+    lab = labels.select("vertex", "component")
+    src_c = lab.select(
+        F.col("vertex").alias("src"), F.col("component").alias("src_comp")
+    )
+    dst_c = lab.select(
+        F.col("vertex").alias("dst"), F.col("component").alias("dst_comp")
+    )
+    ends = (
+        new_edges.select("src", "dst")
+        .distinct()
+        .join(src_c, "src", "left")
+        .join(dst_c, "dst", "left")
+        .select(
+            F.coalesce("src_comp", F.col("src")).alias("u"),
+            F.coalesce("dst_comp", F.col("dst")).alias("v"),
+        )
+    )
+    contracted = (
+        ends.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    # delta solve on the contracted (batch-sized) graph; reuse the adaptive
+    # strategy — union-find for dictionary-sized batches, star-CC above
+    delta = connected_components(
+        contracted, max_iter=max_iter, small_graph_edges=small_graph_edges
+    )
+    moved = delta.where(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias("component"), F.col("component").alias("new_comp")
+    )
+    relabeled = (
+        lab.join(F.broadcast(moved), "component", "left")
+        .select(
+            "vertex",
+            F.coalesce("new_comp", F.col("component")).alias("component"),
+        )
+    )
+    # vertices first seen in this batch: their contracted node is themselves
+    known = lab.select("vertex")
+    new_vs = (
+        new_edges.select(F.col("src").alias("vertex"))
+        .union(new_edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .join(known, "vertex", "left_anti")
+    )
+    new_rows = (
+        new_vs.join(delta, "vertex", "left")
+        .select(
+            "vertex",
+            F.coalesce("component", F.col("vertex")).alias("component"),
+        )
+    )
+    return relabeled.unionByName(new_rows)

@@ -427,3 +427,64 @@ def pagerank_fixed(
     e_deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def bfs_distances(
+    edges: "DataFrame",
+    source: str,
+    max_hops: int = 6,
+    checkpoint_every: int = 3,
+) -> "DataFrame":
+    """Single-source BFS hop distances over the DIRECTED edge table, bounded
+    at ``max_hops`` — the multi-hop reachability primitive (path-length
+    queries, neighborhood radius profiles) a KG consumer asks right after
+    ``two_hop``.
+
+    Returns (node, dist) for every vertex reachable from ``source`` within
+    ``max_hops`` directed hops, ``dist`` = minimal hop count (source row is
+    (source, 0)).
+
+    Frontier algorithm: each round joins the CURRENT frontier (only the
+    just-discovered vertices, never the settled set) to the edge table —
+    shuffled on the join key — then anti-joins the settled set so a vertex
+    is labeled the first (= minimal) time it is seen. Work per round is
+    O(edges out of the frontier), total O(E) over the run like the classic
+    BFS bound; the settled set grows monotonically and is the anti-join's
+    build side. Bounded rounds keep the plan finite at web scale (a 100 TB
+    KG has effectively unbounded diameter through crawl-noise chains; every
+    production path query caps its radius). Lineage is truncated with an
+    eager localCheckpoint every ``checkpoint_every`` rounds, same contract
+    as ``pagerank_fixed``; early-exits when the frontier empties.
+
+    Engine-portable by construction (set arithmetic only, no floats), so the
+    driver oracle replays it as a depth-capped recursive CTE with MIN(d).
+    """
+    _check_cadence(checkpoint_every)
+    e = edges.select("src", "dst").distinct().persist()
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(source, 0)], schema="node string, dist int"
+    ).withColumn("dist", F.col("dist").cast("long"))
+    frontier = settled.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        if hop % checkpoint_every == 0:
+            # truncate BOTH growing lineages: the frontier feeds next
+            # round's join and the settled union chain feeds every later
+            # anti-join
+            nxt = nxt.localCheckpoint(eager=True)
+            settled = settled.localCheckpoint(eager=True)
+        settled = settled.unionByName(
+            nxt.select("node", F.lit(hop).cast("long").alias("dist"))
+        )
+        frontier = nxt
+    settled = settled.localCheckpoint(eager=True)
+    e.unpersist()
+    return settled

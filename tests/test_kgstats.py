@@ -381,3 +381,61 @@ def test_entity_sim_threshold_prunes_on_power_law(spark):
     finally:
         edges.unpersist()
     assert 0 < pruned < all_pairs / 3, (pruned, all_pairs)
+
+
+def test_bfs_distances_hand_graph(spark):
+    # chain a->b->c->d, shortcut a->c, back-edge d->a, unreachable island x->y
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a"), ("x", "y")],
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in kgstats.bfs_distances(e, "a", max_hops=6).collect()
+    }
+    # shortcut wins over the chain for c; island never reached
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_distances_hop_cap_and_directedness(spark):
+    # a->b->c->d with the cap at 2: d is out of radius; edges are DIRECTED
+    # so from "b" vertex a is unreachable
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    capped = {
+        r["node"]: r["dist"]
+        for r in kgstats.bfs_distances(e, "a", max_hops=2).collect()
+    }
+    assert capped == {"a": 0, "b": 1, "c": 2}
+    from_b = {
+        r["node"]: r["dist"]
+        for r in kgstats.bfs_distances(e, "b", max_hops=6).collect()
+    }
+    assert from_b == {"b": 0, "c": 1, "d": 2}
+
+
+def test_bfs_distances_matches_bruteforce_random_graph(spark):
+    rng = random.Random(4051)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = {
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+    }
+    pairs = [(s, d) for s, d in pairs if s != d]
+    # reference BFS
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+    want, frontier = {"n00": 0}, ["n00"]
+    for hop in range(1, 5):
+        nxt = sorted(
+            {d for v in frontier for d in adj.get(v, ()) if d not in want}
+        )
+        for d in nxt:
+            want[d] = hop
+        frontier = nxt
+    got = {
+        r["node"]: r["dist"]
+        for r in kgstats.bfs_distances(
+            _edges(spark, pairs), "n00", max_hops=4, checkpoint_every=2
+        ).collect()
+    }
+    assert got == want

@@ -429,3 +429,63 @@ def test_cli_analytics_and_ntriples_export(spark, tmp_path):
     lines = spark.read.text(nt)
     assert lines.count() == n
     assert lines.where(~F.col("value").rlike("^<.+> <.+> .+ \\.$")).count() == 0
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Folding an edge batch into existing labels == full CC over the union,
+    on a seeded random graph where the batch merges components, extends
+    them with new vertices, adds batch-only components, and lands edges
+    INSIDE existing components (no-ops). Distributed star path forced."""
+    import random
+
+    rng = random.Random(4052)
+    base, batch = [], []
+    for comp in range(5):
+        members = [f"g{comp}_{i:02d}" for i in range(rng.randint(3, 15))]
+        for i in range(1, len(members)):
+            base.append((members[i], members[rng.randrange(i)]))
+        # batch edge inside the existing component (must be a no-op)
+        batch.append((rng.choice(members), rng.choice(members)))
+    # batch merges components 0+1 and 2+3, grows 4 with new vertices,
+    # and adds a brand-new two-vertex component
+    batch += [
+        ("g0_00", "g1_00"), ("g2_01", "g3_02"),
+        ("g4_00", "new_a"), ("new_a", "new_b"),
+        ("island_x", "island_y"),
+    ]
+    base_df = spark.createDataFrame(base, "src string, dst string")
+    batch_df = spark.createDataFrame(batch, "src string, dst string")
+    labels = canon.connected_components(
+        base_df, small_graph_edges=0, algorithm="star"
+    )
+    got = sorted(
+        (r["vertex"], r["component"])
+        for r in canon.incremental_components(
+            labels, batch_df, small_graph_edges=0
+        ).collect()
+    )
+    want = sorted(
+        (r["vertex"], r["component"])
+        for r in canon.connected_components(
+            base_df.unionByName(batch_df), small_graph_edges=0,
+            algorithm="star",
+        ).collect()
+    )
+    assert got == want
+
+
+def test_incremental_components_batch_only_touches_batch(spark):
+    """A batch that never touches existing components leaves every old
+    label untouched and appends only the batch's own component."""
+    base_df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    labels = canon.connected_components(base_df)
+    got = {
+        r["vertex"]: r["component"]
+        for r in canon.incremental_components(
+            labels,
+            spark.createDataFrame([("p", "q")], "src string, dst string"),
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "p": "p", "q": "p"}
