@@ -855,6 +855,30 @@ def _kg_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: link-graph fixture size — single source for the entries and the oracle
+_LINK_DOCS, _LINK_SEED = 150, 42
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink edges (linkgraph.extract_links): <a> scan over the fixture
+    pages' raw HTML + full URL canonicalization (fragment, case, default
+    port, tracking params, trailing slash — each exercised by a dedicated
+    nav link per page). Oracle: the same regex chain in DuckDB, both sides
+    reading linkgraph.py's shared pattern constants."""
+    from jamie_spark import linkgraph
+
+    pages = fixtures.pages_df(spark, _LINK_DOCS, seed=_LINK_SEED)
+    return linkgraph.extract_links(pages)
+
+
+def _link_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link rollup (linkgraph.host_graph) over the same edges."""
+    from jamie_spark import linkgraph
+
+    pages = fixtures.pages_df(spark, _LINK_DOCS, seed=_LINK_SEED)
+    return linkgraph.host_graph(linkgraph.extract_links(pages))
+
+
 #: BM25 query terms — single source for the Spark entry and the oracle
 _BM25_TERMS = ("spark", "stream", "sort")
 
@@ -1352,6 +1376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "kg_bfs_distances": _kg_bfs_distances,
         "kg_incremental_canon": _kg_incremental_canon,
+        "link_edges": _link_edges,
+        "link_host_graph": _link_host_graph,
         "token_budget_sample": _token_budget_sample,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_pipeline_triples_numpy": _kg_pipeline_triples_numpy,
@@ -1546,6 +1572,73 @@ SELECT concept_id, canonical_id FROM canon_map
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _lg_host_re() -> str:
+    from jamie_spark import linkgraph as lg
+
+    return lg.HOST_RE
+
+
+def _link_edges_sql() -> str:
+    """DuckDB twin of linkgraph.extract_links over the fixture pages:
+    renders (url, html) VALUES from the SAME generator and replays the
+    anchor scan + URL canonicalization with linkgraph.py's shared regex
+    constants — any drift in the rule set breaks the value hash."""
+    from jamie_spark import linkgraph as lg
+
+    pages, _, _, _ = fixtures.gen_corpus(_LINK_DOCS, _LINK_SEED)
+    vals = ", ".join(
+        f"({_sql_str(p['url'])}, {_sql_str(p['html'].decode('utf-8'))})"
+        for p in pages
+    )
+    return f"""
+linkpages(url, html) AS (VALUES {vals}),
+ltags AS (
+    SELECT url AS src_url,
+           unnest(regexp_extract_all(html, '{lg.A_TAG_RE}')) AS tag
+    FROM linkpages
+),
+lraw AS (
+    SELECT src_url,
+           regexp_extract(tag, '{lg.HREF_RE}', 1) AS href,
+           regexp_extract(tag, '{lg.ANCHOR_RE}', 1) AS anchor
+    FROM ltags
+),
+lparts AS (
+    SELECT src_url, anchor,
+           lower(regexp_extract(u, '{lg.SCHEME_RE}', 1)) AS scheme,
+           lower(regexp_extract(u, '{lg.HOST_RE}', 1)) AS hostp,
+           regexp_extract(u, '{lg.PORT_RE}', 1) AS port,
+           regexp_extract(u, '{lg.PATH_RE}', 1) AS path,
+           regexp_extract(u, '{lg.QUERY_RE}', 1) AS query
+    FROM (SELECT src_url, anchor, regexp_replace(href, '#.*$', '') AS u,
+                 href
+          FROM lraw)
+),
+lnorm AS (
+    SELECT src_url,
+           scheme || '://' || hostp
+           || (CASE WHEN port = ''
+                      OR (scheme = 'https' AND port = '443')
+                      OR (scheme = 'http' AND port = '80')
+                    THEN '' ELSE ':' || port END)
+           || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END)
+           || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS dst_url,
+           anchor
+    FROM (SELECT *,
+                 -- array_to_string of an EMPTY list is NULL in DuckDB
+                 -- (Spark's array_join yields ''): coalesce to match
+                 COALESCE(array_to_string(
+                     list_filter(
+                         string_split(query, '&'),
+                         x -> x <> ''
+                              AND NOT regexp_matches(x, '{lg.TRACKING_PARAM_RE}')
+                     ), '&'), '') AS cq
+          FROM lparts)
+    WHERE scheme IN ('http', 'https') AND hostp <> ''
+)"""
 
 
 #: word-adjacency digraph CTE shared by the kgstats oracles — distinct
@@ -2642,6 +2735,18 @@ scored AS (
 SELECT vec_a, vec_b, score FROM scored WHERE score >= 0.45
 """,
         "kg_canon_components": _canon_cc_sql(),
+        "link_edges": f"""
+WITH {_link_edges_sql().strip()}
+SELECT src_url, dst_url, anchor FROM lnorm
+""",
+        "link_host_graph": f"""
+WITH {_link_edges_sql().strip()}
+SELECT lower(regexp_extract(src_url, '{_lg_host_re()}', 1)) AS src_host,
+       lower(regexp_extract(dst_url, '{_lg_host_re()}', 1)) AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM lnorm
+GROUP BY 1, 2
+""",
         "kg_bfs_distances": f"""
 WITH RECURSIVE {_EDGES_CTE.strip()},
 srcv AS (SELECT MIN(least(src, dst)) AS s FROM edges),

@@ -192,11 +192,30 @@ def _sentence_relations(slots: list[_Slot]) -> list[tuple[_Slot, _Slot, str]]:
     return rels
 
 
+def _nav_links(doc_id: int) -> str:
+    """Deterministic outlinks for the page's <nav> — pure function of
+    doc_id (corpus-size independent, so the distributed generator stays
+    embarrassingly parallel). The three links exercise the URL-normalizer's
+    rule set exactly once each: a fragment, an uppercase host + default
+    port + tracking params (raw ``&`` separators, as on the real web), and
+    a mirror host with a trailing slash. They live OUTSIDE <article>, so
+    the boilerplate-stripped text — and every pipeline gold — is untouched."""
+    t1 = doc_id * 3 + 1
+    t2 = doc_id + 7
+    ext = doc_id % 5
+    return (
+        f'<a href="https://fixture.test/doc/{t1}#sec{doc_id % 3}">関連記事 {t1}</a>'
+        f'<a href="HTTPS://Fixture.TEST:443/doc/{t2}?utm_source=nav&id={t2 % 4}'
+        f'&ref=footer">特集 {t2}</a>'
+        f'<a href="https://mirror{ext}.fixture.test/doc/{doc_id}/">ミラー {doc_id}</a>'
+    )
+
+
 def _make_html(sentences: list[str], doc_id: int) -> str:
     body = "".join(f"<p>{escape_html(s)}</p>" for s in sentences)
     return (
         "<html><head><title>fixture</title><script>var x=1;</script></head>"
-        f"<body><nav>ナビゲーション {doc_id}</nav>"
+        f"<body><nav>ナビゲーション {doc_id}{_nav_links(doc_id)}</nav>"
         f"<article>{body}</article>"
         "<footer>コピーライト fixture.test</footer></body></html>"
     )

@@ -1,0 +1,147 @@
+"""Hyperlink-graph extraction from crawled HTML — the web-native edge tier.
+
+The pipeline's triples are CONTENT edges (entity relations inside a page);
+a web-scale KG equally needs the page-to-page LINK graph: outbound anchors,
+canonicalized target URLs, and the host-level rollup that feeds crawl
+scheduling, spam/link-farm detection, and host PageRank. The reference stops
+at per-document annotation; these operators extend the same crawl table.
+
+Everything here is one declarative column plan over the raw ``html`` bytes:
+JVM ``regexp_extract_all`` for the anchor scan (whole-stage codegen, no
+Python in the path), an explode bounded by links-per-page, and a hash
+aggregation for the host rollup — no UDFs, no shuffles beyond the final
+groupBy. URL normalization is a pure regexp chain in the Java/RE2-common
+subset (same contract as textstats.pii_scrub), so the DuckDB driver oracle
+replays it verbatim; the regex constants below are the single source of
+truth for BOTH engines.
+
+Normalization rule set (each rule exercised by a dedicated fixture link):
+  1. strip the fragment (``#...``);
+  2. lowercase scheme and host;
+  3. drop default ports (``https://h:443`` -> ``https://h``, ``http://h:80``
+     -> ``http://h``; any other explicit port is kept);
+  4. drop tracking query params (``utm_*``, ``ref``, ``fbclid``, ``gclid``),
+     preserving the relative order of surviving params (no re-sort: order
+     can be semantic, and keep-order is engine-identical for free);
+  5. collapse trailing slashes on a non-root path; an empty path becomes
+     ``/``.
+Non-http(s) and authority-less hrefs (mailto:, javascript:, relative links)
+are dropped — the link GRAPH wants resolvable absolute web targets.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import Column, DataFrame
+
+#: one <a> element with a double-quoted href and a text-only anchor body —
+#: the crawl-HTML subset the fixture generator emits. Raw ``&`` separators
+#: in hrefs (ubiquitous on the real web, strictly-invalid HTML) are read
+#: as-is. Single source for the Spark scan and the DuckDB oracle.
+A_TAG_RE = '<a href="[^"]*"[^>]*>[^<]*</a>'
+HREF_RE = 'href="([^"]*)"'
+ANCHOR_RE = ">([^<]*)</a>"
+
+#: tracking query params dropped by rule 4
+TRACKING_PARAM_RE = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+#: URL part extractors (rules 2-5); all return '' on no-match in BOTH engines
+SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+HOST_RE = "^[^:/?#]+://([^/:?#]+)"
+PORT_RE = "^[^:/?#]+://[^/:?#]+:([0-9]+)"
+PATH_RE = "^[^:/?#]+://[^/?#]*([^?#]*)"
+QUERY_RE = r"\?([^#]*)"
+
+
+def url_host(url: "Column | str") -> "Column":
+    """Lowercased host of an absolute URL ('' when there is none)."""
+    return F.lower(F.regexp_extract(url, HOST_RE, 1))
+
+
+def normalize_url(url: "Column | str") -> "Column":
+    """Canonical form of an absolute URL per the module rule set.
+
+    Pure JVM expression chain — safe in a select over billions of rows.
+    Returns the rebuilt URL; callers filter on :func:`url_host` != '' and
+    scheme to drop non-web targets (``extract_links`` does).
+    """
+    u = F.regexp_replace(url, "#.*$", "")  # rule 1
+    scheme = F.lower(F.regexp_extract(u, SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(u, HOST_RE, 1))
+    port = F.regexp_extract(u, PORT_RE, 1)
+    path = F.regexp_extract(u, PATH_RE, 1)
+    query = F.regexp_extract(u, QUERY_RE, 1)
+    port_part = (
+        F.when(
+            (port == "")
+            | ((scheme == F.lit("https")) & (port == F.lit("443")))
+            | ((scheme == F.lit("http")) & (port == F.lit("80"))),
+            F.lit(""),
+        )
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    stripped = F.regexp_replace(path, "/+$", "")
+    path_part = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    clean_q = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    query_part = F.when(clean_q == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), clean_q)
+    )
+    return F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
+
+
+def extract_links(
+    pages: "DataFrame", html_col: str = "html", url_col: str = "url"
+) -> "DataFrame":
+    """(src_url, dst_url, anchor) edges from the pages' raw HTML.
+
+    One codegen'd scan: regexp_extract_all collects the <a> elements, the
+    explode fans out by links-per-page (bounded by page size), and the href
+    is normalized per the module rule set. Non-http(s) targets drop.
+    """
+    tags = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.expr(
+                f"regexp_extract_all(cast({html_col} as string),"
+                f" '{A_TAG_RE}', 0)"
+            )
+        ).alias("tag"),
+    )
+    raw = tags.select(
+        "src_url",
+        F.regexp_extract("tag", HREF_RE, 1).alias("href"),
+        F.regexp_extract("tag", ANCHOR_RE, 1).alias("anchor"),
+    )
+    scheme = F.lower(F.regexp_extract("href", SCHEME_RE, 1))
+    return (
+        raw.withColumn("dst_url", normalize_url(F.col("href")))
+        .where(scheme.isin("http", "https") & (url_host(F.col("href")) != ""))
+        .select("src_url", "dst_url", "anchor")
+    )
+
+
+def host_graph(links: "DataFrame") -> "DataFrame":
+    """Host-level rollup (src_host, dst_host, n_links) of a link-edge table.
+
+    One hash aggregation with map-side partial combine; host cardinality is
+    web-sized (~1e8) but each group is a scalar count — the canonical
+    shuffle-then-sum shape that survives any corpus size.
+    """
+    return (
+        links.select(
+            url_host(F.col("src_url")).alias("src_host"),
+            url_host(F.col("dst_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
