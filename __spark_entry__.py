@@ -855,6 +855,69 @@ def _kg_incremental_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: as-of snapshot cutoff (seconds) — single source for entry and oracle
+_SNAP_CUTOFF = 500 * 3600
+
+
+def _kg_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-assertion fixture shared by the temporal-KG entries:
+    every window triple becomes an observation stamped by its document
+    (observed_at = (doc_id mod 1000) hours) — re-crawls of the same
+    (subj, pred) assert different objects over time. DISTINCT so the
+    version history is a set, as a crawl ledger's would be."""
+    t = _kg_triples_window(spark, sf_dir)
+    return t.select(
+        "subj",
+        "pred",
+        "obj",
+        ((F.col("doc_id") % 1000) * 3600).cast("long").alias("observed_at"),
+    ).distinct()
+
+
+def _kg_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of KG state (temporal.latest_snapshot): for each (subj, pred),
+    the assertion believed at the cutoff — max observed_at <= cutoff,
+    timestamp ties broken by obj DESC (engine-portable total order)."""
+    from jamie_spark import temporal
+
+    return temporal.latest_snapshot(
+        _kg_observations(spark, sf_dir),
+        ["subj", "pred"],
+        "observed_at",
+        _SNAP_CUTOFF,
+        tiebreak_cols=("obj",),
+    )
+
+
+def _kg_triple_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 assertion intervals (temporal.valid_intervals): each
+    observation is valid from its timestamp until the next observation of
+    the same (subj, pred); NULL valid_to = still-current belief."""
+    from jamie_spark import temporal
+
+    return temporal.valid_intervals(
+        _kg_observations(spark, sf_dir),
+        ["subj", "pred"],
+        "observed_at",
+        order_cols=("obj",),
+    )
+
+
+#: negatives per positive — single source for the entry and the oracle
+_NEG_K = 2
+
+
+def _kg_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tail negative sampling (kgstats.negative_sample) over the
+    distinct window triples: md5-slot picks from the ranked tail vocab,
+    known positives anti-joined out. The oracle replays the identical
+    60-bit md5-prefix mod arithmetic on the same DISTINCT triple set."""
+    from jamie_spark import kgstats
+
+    t = _kg_triples_window(spark, sf_dir).select("subj", "pred", "obj")
+    return kgstats.negative_sample(t, k=_NEG_K)
+
+
 #: link-graph fixture size — single source for the entries and the oracle
 _LINK_DOCS, _LINK_SEED = 150, 42
 
@@ -1378,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_canon": _kg_incremental_canon,
         "link_edges": _link_edges,
         "link_host_graph": _link_host_graph,
+        "kg_negative_sample": _kg_negative_sample,
+        "kg_snapshot_asof": _kg_snapshot_asof,
+        "kg_triple_intervals": _kg_triple_intervals,
         "token_budget_sample": _token_budget_sample,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_pipeline_triples_numpy": _kg_pipeline_triples_numpy,
@@ -1400,6 +1466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _asof_join,
         "asof_join_fwd": _asof_join_fwd,
         "range_count_1h": _range_count,
+        # ---- position-50 cutoff: everything below was green in r04 on code
+        # ---- untouched this round (the fixture change is html-only nav
+        # ---- links; no entry below reads fixture html), and rotates into
+        # ---- the head next round
         "search_bm25": _search_bm25,
         "search_bm25_indexed": _search_bm25_indexed,
         "approx_percentiles": _approx_percentiles,
@@ -1407,8 +1477,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": _quality_repetition,
         "decontam_overlap": _decontam_overlap,
         "sample_stratified": _sample_stratified,
-        # ---- position-50 cutoff: everything below was green in r04 on code
-        # ---- untouched this round, and rotates into the head next round
         "source_quality_rollup": _source_quality_rollup,
         "curation_pipeline": _curation_pipeline,
         "dedup_passages": _dedup_passages,
@@ -1572,6 +1640,33 @@ SELECT concept_id, canonical_id FROM canon_map
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def _kg_obs_ctes() -> str:
+    """CTE chain for the versioned-assertion fixture — mirrors
+    ``_kg_observations`` (window triples stamped by doc_id mod 1000 hours,
+    DISTINCT)."""
+    return f"""
+dict(surface, tag) AS (VALUES {_kg_dict_values()}),
+words AS (
+    SELECT doc_id, unnest(ws) AS surface,
+           CAST(generate_subscripts(ws, 1) AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+m AS (SELECT w.doc_id, w.pos, w.surface, d.tag
+      FROM words w JOIN dict d ON w.surface = d.surface),
+t AS (
+    SELECT a.doc_id AS doc_id, a.surface AS subj, 'acts_on' AS pred,
+           b.surface AS obj
+    FROM m a JOIN m b ON a.doc_id = b.doc_id
+    WHERE a.tag = 'op' AND b.tag = 'obj'
+      AND b.pos > a.pos AND b.pos - a.pos <= 3
+),
+obs AS (
+    SELECT DISTINCT subj, pred, obj,
+           CAST((doc_id % 1000) * 3600 AS BIGINT) AS observed_at
+    FROM t
+)"""
 
 
 def _lg_host_re() -> str:
@@ -2746,6 +2841,63 @@ SELECT lower(regexp_extract(src_url, '{_lg_host_re()}', 1)) AS src_host,
        CAST(COUNT(*) AS BIGINT) AS n_links
 FROM lnorm
 GROUP BY 1, 2
+""",
+        "kg_snapshot_asof": f"""
+WITH {_kg_obs_ctes().strip()}
+SELECT subj, pred, obj, observed_at FROM (
+    SELECT *, row_number() OVER (PARTITION BY subj, pred
+                                 ORDER BY observed_at DESC, obj DESC) AS rn
+    FROM obs WHERE observed_at <= {_SNAP_CUTOFF}
+) WHERE rn = 1
+""",
+        "kg_triple_intervals": f"""
+WITH {_kg_obs_ctes().strip()}
+SELECT subj, pred, obj, observed_at,
+       observed_at AS valid_from,
+       lead(observed_at) OVER (PARTITION BY subj, pred
+                               ORDER BY observed_at, obj) AS valid_to
+FROM obs
+""",
+        "kg_negative_sample": f"""
+WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),
+words AS (
+    SELECT doc_id, unnest(ws) AS surface,
+           CAST(generate_subscripts(ws, 1) AS INT) AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+),
+m AS (SELECT w.doc_id, w.pos, w.surface, d.tag
+      FROM words w JOIN dict d ON w.surface = d.surface),
+t AS (
+    SELECT DISTINCT a.surface AS subj, 'acts_on' AS pred, b.surface AS obj
+    FROM m a JOIN m b ON a.doc_id = b.doc_id
+    WHERE a.tag = 'op' AND b.tag = 'obj'
+      AND b.pos > a.pos AND b.pos - a.pos <= 3
+),
+ent AS (
+    -- ALL entities (heads + tails), mirroring kgstats.negative_sample
+    SELECT e AS neg_obj,
+           CAST(row_number() OVER (ORDER BY e) - 1 AS BIGINT) AS rk
+    FROM (SELECT subj AS e FROM t UNION SELECT obj FROM t)
+),
+nv AS (SELECT COUNT(*) AS n FROM ent),
+cand AS (
+    SELECT subj, pred, obj, i AS sample_idx,
+           ('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|'
+                               || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+               % (SELECT n FROM nv) AS slot
+    FROM t, unnest(range(0, {_NEG_K})) AS s(i)
+),
+neg AS (
+    SELECT c.subj, c.pred, e.neg_obj,
+           CAST(c.sample_idx AS BIGINT) AS sample_idx
+    FROM cand c JOIN ent e ON e.rk = c.slot
+)
+SELECT subj, pred, neg_obj, sample_idx
+FROM neg x
+WHERE NOT EXISTS (
+    SELECT 1 FROM t
+    WHERE t.subj = x.subj AND t.pred = x.pred AND t.obj = x.neg_obj
+)
 """,
         "kg_bfs_distances": f"""
 WITH RECURSIVE {_EDGES_CTE.strip()},

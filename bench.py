@@ -159,6 +159,13 @@ def main() -> None:
         "kg_kcore",
         "kg_entity_sim",
         "kg_entity_sim_zipf",
+        "kg_bfs_distances",
+        "kg_incremental_canon",
+        "kg_negative_sample",
+        "kg_snapshot_asof",
+        "kg_triple_intervals",
+        "link_edges",
+        "link_host_graph",
         "kg_pipeline_triples_numpy",
         "approx_percentiles",
         "cms_user_counts",

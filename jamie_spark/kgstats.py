@@ -467,24 +467,109 @@ def bfs_distances(
     ).withColumn("dist", F.col("dist").cast("long"))
     frontier = settled.select("node")
     for hop in range(1, max_hops + 1):
+        # materialize the frontier ONCE per round: it is consumed three
+        # times (the emptiness check, the settled union, next round's
+        # join) — without this each consumer replays the join+anti-join
         nxt = (
             e.join(frontier, e["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(settled.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        if hop % checkpoint_every == 0:
-            # truncate BOTH growing lineages: the frontier feeds next
-            # round's join and the settled union chain feeds every later
-            # anti-join
-            nxt = nxt.localCheckpoint(eager=True)
-            settled = settled.localCheckpoint(eager=True)
         settled = settled.unionByName(
             nxt.select("node", F.lit(hop).cast("long").alias("dist"))
         )
+        if hop % checkpoint_every == 0:
+            # the settled union chain feeds every later anti-join
+            settled = settled.localCheckpoint(eager=True)
         frontier = nxt
     settled = settled.localCheckpoint(eager=True)
     e.unpersist()
     return settled
+
+
+def negative_sample(
+    triples: "DataFrame", k: int = 2, n_entities: int | None = None
+) -> "DataFrame":
+    """Deterministic corrupt-tail negative sampling — the training-data
+    generator for KG-embedding models (TransE-family): every positive
+    (subj, pred, obj) gets ``k`` corrupted tails drawn from the entity
+    vocabulary, with any corruption that is itself a known positive
+    filtered out.
+
+    Returns (subj, pred, neg_obj, sample_idx); rows whose hash-pick
+    collides with a true triple are DROPPED (both engines drop the same
+    rows), so up to ``k`` rows come back per positive.
+
+    Determinism: pick i for a triple is ``md5(subj|pred|obj|i) mod |V|``
+    — engine-portable integer arithmetic (the same 60-bit md5-prefix
+    trick as the HLL/CMS sketches), so the sample is reproducible across
+    runs, partitionings, and engines, and the driver oracle replays it
+    exactly.
+
+    Scale shape: the entity vocabulary is ranked ONCE with a global sort —
+    vocab-sized (the entity dictionary), not corpus-sized, and at
+    production scale a materialize-once artifact like the concept
+    dictionary. The per-corpus work is an equi-join of candidates on the
+    slot key (plain shuffle join, no broadcast assumption — a web-KG
+    vocab can exceed broadcast limits) and a left-anti join against the
+    positive set. ``n_entities`` skips the vocab count when the caller
+    already knows it (same contract as sim's ``n_rows``).
+    """
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj").distinct()
+    # corruption vocabulary = ALL entities (heads and tails, the TransE
+    # convention): a tails-only vocab can be so saturated by positives on
+    # a dense dictionary-derived graph that every corruption collides and
+    # the sample comes back empty
+    ent = (
+        t.select(F.col("subj").alias("obj"))
+        .union(t.select("obj"))
+        .distinct()
+    )
+    if n_entities is None:
+        n_entities = ent.count()
+    ent_rk = ent.select(
+        F.col("obj").alias("neg_obj"),
+        (F.row_number().over(Window.orderBy("obj")) - 1).alias("rk"),
+    )
+    cand = t.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sample_idx"),
+    ).withColumn(
+        "slot",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            "subj",
+                            "pred",
+                            "obj",
+                            F.col("sample_idx").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_entities)),
+        ),
+    )
+    neg = cand.join(ent_rk, cand["slot"] == ent_rk["rk"]).select(
+        "subj",
+        "pred",
+        "neg_obj",
+        F.col("sample_idx").cast("long").alias("sample_idx"),
+    )
+    pos = t.select("subj", "pred", F.col("obj").alias("neg_obj"))
+    return neg.join(pos, ["subj", "pred", "neg_obj"], "left_anti")

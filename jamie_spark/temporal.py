@@ -146,3 +146,53 @@ def range_count(
         .join(counts, [on, ts], "left")
         .select(on, ts, F.coalesce("n_next", F.lit(0)).alias("n_next"))
     )
+
+
+def latest_snapshot(
+    df: "DataFrame",
+    key_cols: list[str],
+    ts_col: str,
+    cutoff,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> "DataFrame":
+    """As-of state snapshot (the SCD "current row" query): for every key,
+    the single row with the greatest ``ts_col`` <= ``cutoff`` — how a
+    versioned KG answers "what did we believe about (subj, pred) at time
+    T?" as assertions are re-observed across crawls.
+
+    One shuffle on the key columns; the window is per-KEY (bounded group
+    size), never a global sort. Ties on the timestamp are broken by
+    ``tiebreak_cols`` DESC so the winner is total-ordered and the result
+    engine-portable (pass the value column(s); identical full-row
+    duplicates need no tiebreak — every candidate winner is the same row).
+    """
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.where(F.col(ts_col) <= F.lit(cutoff))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def valid_intervals(
+    df: "DataFrame",
+    key_cols: list[str],
+    ts_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> "DataFrame":
+    """SCD-2 interval materialization: each observation becomes a version
+    row valid from its own timestamp until the NEXT observation of the same
+    key (NULL = still current) — the other half of KG versioning next to
+    :func:`latest_snapshot`.
+
+    Version order within a key is (``ts_col``, *order_cols*) ASC — pass the
+    value column(s) so simultaneous observations get a deterministic,
+    engine-portable order. Same single-shuffle per-key window shape.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )

@@ -439,3 +439,33 @@ def test_bfs_distances_matches_bruteforce_random_graph(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_negative_sample_semantics(spark):
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1"),
+         ("s3", "q", "o3")],
+        "subj string, pred string, obj string",
+    )
+    got = kgstats.negative_sample(t, k=3).collect()
+    # corruption vocab = heads + tails
+    vocab = {"s1", "s2", "s3", "o1", "o2", "o3"}
+    positives = {("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1"),
+                 ("s3", "q", "o3")}
+    for r in got:
+        # every negative comes from the tail vocab and is never a positive
+        assert r["neg_obj"] in vocab
+        assert (r["subj"], r["pred"], r["neg_obj"]) not in positives
+        assert 0 <= r["sample_idx"] < 3
+    # at most k per positive; at least one survives overall
+    from collections import Counter
+
+    per_pos = Counter((r["subj"], r["pred"]) for r in got)
+    assert got and max(per_pos.values()) <= 2 * 3  # s1 has two positives
+    # deterministic: second run identical
+    again = kgstats.negative_sample(t, k=3).collect()
+    key = lambda r: (r["subj"], r["pred"], r["neg_obj"], r["sample_idx"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, again))
+    # n_entities passthrough gives the same sample (no eager count)
+    pre = kgstats.negative_sample(t, k=3, n_entities=6).collect()
+    assert sorted(map(key, got)) == sorted(map(key, pre))

@@ -140,3 +140,44 @@ def test_asof_join_forward_matches_bruteforce_random(spark):
         cands = [(rt, rv) for ru, rt, rv in right if ru == u and rt >= t]
         exp = min(cands)[1] if cands else None
         assert got[(u, t, lv)] == exp, (u, t)
+
+
+def test_latest_snapshot_picks_max_ts_under_cutoff(spark):
+    from jamie_spark import temporal
+
+    obs = spark.createDataFrame(
+        [
+            ("s", "p", "old", 10), ("s", "p", "mid", 20),
+            ("s", "p", "late", 99),           # beyond cutoff
+            ("s", "q", "a", 20), ("s", "q", "b", 20),  # ts tie -> obj DESC
+            ("t", "p", "only", 5),
+        ],
+        "subj string, pred string, obj string, observed_at long",
+    )
+    got = {
+        (r["subj"], r["pred"]): (r["obj"], r["observed_at"])
+        for r in temporal.latest_snapshot(
+            obs, ["subj", "pred"], "observed_at", 50, tiebreak_cols=("obj",)
+        ).collect()
+    }
+    assert got == {
+        ("s", "p"): ("mid", 20),
+        ("s", "q"): ("b", 20),
+        ("t", "p"): ("only", 5),
+    }
+
+
+def test_valid_intervals_chain_and_open_tail(spark):
+    from jamie_spark import temporal
+
+    obs = spark.createDataFrame(
+        [("s", "p", "v1", 10), ("s", "p", "v2", 30), ("s", "p", "v3", 70)],
+        "subj string, pred string, obj string, observed_at long",
+    )
+    rows = sorted(
+        (r["obj"], r["valid_from"], r["valid_to"])
+        for r in temporal.valid_intervals(
+            obs, ["subj", "pred"], "observed_at", order_cols=("obj",)
+        ).collect()
+    )
+    assert rows == [("v1", 10, 30), ("v2", 30, 70), ("v3", 70, None)]
