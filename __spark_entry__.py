@@ -907,6 +907,48 @@ def _kg_triple_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEG_K = 2
 
 
+def _link_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the REAL extracted link graph — the
+    composition a web-KG consumer runs first: extract_links -> host_graph
+    -> integer pagerank_fixed (distinct host edges, self-links included).
+    Oracle: the unrolled int64 recurrence over the same DuckDB-extracted
+    host edges."""
+    from jamie_spark import kgstats, linkgraph
+
+    pages = fixtures.pages_df(spark, _LINK_DOCS, seed=_LINK_SEED)
+    hg = linkgraph.host_graph(linkgraph.extract_links(pages))
+    e = hg.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return kgstats.pagerank_fixed(e, iters=5)
+
+
+def _host_edges_cte() -> str:
+    """edges/nodes CTEs over the extracted HOST graph, for _pagerank_sql."""
+    from jamie_spark import linkgraph as lg
+
+    return f"""
+{_link_edges_sql().strip()},
+edges AS (
+    SELECT DISTINCT lower(regexp_extract(src_url, '{lg.HOST_RE}', 1)) AS src,
+           lower(regexp_extract(dst_url, '{lg.HOST_RE}', 1)) AS dst
+    FROM lnorm
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+
+def _link_anchor_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text entity linking (linkgraph.anchor_concepts): anchor
+    tokens matched against the concept alias dictionary, rolled up to
+    (dst_url, concept_id, n_refs) over the fixture pages' topic links.
+    Oracle: same pinned tokenizer grammar + the alias table as VALUES."""
+    from jamie_spark import linkgraph
+
+    pages = fixtures.pages_df(spark, _LINK_DOCS, seed=_LINK_SEED)
+    links = linkgraph.extract_links(pages)
+    return linkgraph.anchor_concepts(links, fixtures.concept_df(spark))
+
+
 def _kg_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-tail negative sampling (kgstats.negative_sample) over the
     distinct window triples: md5-slot picks from the ranked tail vocab,
@@ -1441,6 +1483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_incremental_canon": _kg_incremental_canon,
         "link_edges": _link_edges,
         "link_host_graph": _link_host_graph,
+        "link_host_rank": _link_host_rank,
+        "link_anchor_concepts": _link_anchor_concepts,
         "kg_negative_sample": _kg_negative_sample,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_triple_intervals": _kg_triple_intervals,
@@ -1464,12 +1508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": _skew_salted_agg,
         "sessionization": _sessionization,
         "asof_join": _asof_join,
-        "asof_join_fwd": _asof_join_fwd,
-        "range_count_1h": _range_count,
         # ---- position-50 cutoff: everything below was green in r04 on code
         # ---- untouched this round (the fixture change is html-only nav
         # ---- links; no entry below reads fixture html), and rotates into
         # ---- the head next round
+        "asof_join_fwd": _asof_join_fwd,
+        "range_count_1h": _range_count,
         "search_bm25": _search_bm25,
         "search_bm25_indexed": _search_bm25_indexed,
         "approx_percentiles": _approx_percentiles,
@@ -1675,6 +1719,23 @@ def _lg_host_re() -> str:
     return lg.HOST_RE
 
 
+def _lg_token_re() -> str:
+    from jamie_spark import linkgraph as lg
+
+    return lg.TOKEN_RE
+
+
+def _alias_values() -> str:
+    """Concept alias dictionary as VALUES rows (concept_id, alias) —
+    the same rows fixtures.concept_df builds from concepts.concept_rows."""
+    from jamie_spark import concepts as _c
+
+    pairs = sorted({(r["concept_id"], r["alias"]) for r in _c.concept_rows()})
+    return ", ".join(
+        f"({_sql_str(cid)}, {_sql_str(alias)})" for cid, alias in pairs
+    )
+
+
 def _link_edges_sql() -> str:
     """DuckDB twin of linkgraph.extract_links over the fixture pages:
     renders (url, html) VALUES from the SAME generator and replays the
@@ -1857,11 +1918,16 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
 
 
 def _pagerank_sql(
-    iters: int = 5, scale: int = 1_000_000_000, damping_num: int = 85
+    iters: int = 5,
+    scale: int = 1_000_000_000,
+    damping_num: int = 85,
+    edges_cte: str | None = None,
 ) -> str:
     """kgstats.pagerank_fixed unrolled as chained CTEs: the recurrence is
     all int64 arithmetic (// division, integer sums), so DuckDB reproduces
-    Spark's ranks exactly — no float summation-order drift to round away."""
+    Spark's ranks exactly — no float summation-order drift to round away.
+    ``edges_cte`` swaps in another graph (must define ``edges(src, dst)``
+    and ``nodes(node)``); default is the word-adjacency graph."""
     base = scale * (100 - damping_num) // 100
     ctes = [
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
@@ -1880,8 +1946,9 @@ def _pagerank_sql(
         JOIN r{i - 1} r ON r.node = ed.src
         GROUP BY ed.dst
     ) m USING (node))""")
+    prefix = _EDGES_CTE.strip() if edges_cte is None else edges_cte.strip()
     return (
-        f"WITH {_EDGES_CTE.strip()},\n"
+        f"WITH {prefix},\n"
         + ",\n".join(ctes)
         + f"\nSELECT node, rank_fp FROM r{iters}"
     )
@@ -2841,6 +2908,22 @@ SELECT lower(regexp_extract(src_url, '{_lg_host_re()}', 1)) AS src_host,
        CAST(COUNT(*) AS BIGINT) AS n_links
 FROM lnorm
 GROUP BY 1, 2
+""",
+        "link_host_rank": _pagerank_sql(5, edges_cte=_host_edges_cte()),
+        "link_anchor_concepts": f"""
+WITH {_link_edges_sql().strip()},
+ali(concept_id, tok) AS (VALUES {_alias_values()}),
+atoks AS (
+    SELECT src_url, dst_url,
+           unnest(regexp_extract_all(anchor, '{_lg_token_re()}')) AS tok
+    FROM lnorm
+),
+hits AS (
+    SELECT DISTINCT a.src_url, a.dst_url, l.concept_id
+    FROM atoks a JOIN ali l USING (tok)
+)
+SELECT dst_url, concept_id, CAST(COUNT(*) AS BIGINT) AS n_refs
+FROM hits GROUP BY 1, 2
 """,
         "kg_snapshot_asof": f"""
 WITH {_kg_obs_ctes().strip()}

@@ -166,6 +166,8 @@ def main() -> None:
         "kg_triple_intervals",
         "link_edges",
         "link_host_graph",
+        "link_host_rank",
+        "link_anchor_concepts",
         "kg_pipeline_triples_numpy",
         "approx_percentiles",
         "cms_user_counts",
@@ -301,7 +303,7 @@ def main() -> None:
         # graph never reaches.
         from pyspark.sql import functions as SF
 
-        from jamie_spark import kgstats
+        from jamie_spark import canon, kgstats
 
         n_edges = stress_docs
         gedges = fixtures.zipf_edges_df(
@@ -323,6 +325,38 @@ def main() -> None:
         t = time.perf_counter()
         kgstats.kcore(gedges, k=3, iters=3).count()
         timings["graph_stress_kcore"] = round(time.perf_counter() - t, 3)
+        # r5 additions under the same power-law hubs: bounded BFS from the
+        # max-degree hub (frontier blows to hub-degree size in one hop —
+        # the worst frontier the operator can meet at this edge count) and
+        # incremental CC folding a 10% edge batch into labels computed on
+        # the other 90% (per-batch maintenance cost vs the full solve)
+        hub = (
+            gedges.groupBy("src")
+            .agg(SF.count(SF.lit(1)).alias("fan"))
+            .orderBy(SF.desc("fan"), "src")
+            .first()["src"]
+        )
+        t = time.perf_counter()
+        kgstats.bfs_distances(gedges, hub, max_hops=4).count()
+        timings["graph_stress_bfs"] = round(time.perf_counter() - t, 3)
+        tagged = gedges.withColumn(
+            "tag", SF.pmod(SF.xxhash64("src", "dst", SF.lit(11)), SF.lit(10))
+        ).persist()
+        tagged.count()
+        base_lab = canon.connected_components(
+            tagged.where(SF.col("tag") != 0).select("src", "dst"),
+            small_graph_edges=0,
+        ).persist()
+        base_lab.count()
+        t = time.perf_counter()
+        canon.incremental_components(
+            base_lab,
+            tagged.where(SF.col("tag") == 0).select("src", "dst"),
+            small_graph_edges=0,
+        ).count()
+        timings["graph_stress_inc_cc"] = round(time.perf_counter() - t, 3)
+        base_lab.unpersist()
+        tagged.unpersist()
         max_oriented = (
             kgstats.orient(gedges)
             .groupBy("lo")
@@ -332,7 +366,8 @@ def main() -> None:
         )
         gedges.unpersist()
         for k in ("graph_stress_triangles", "graph_stress_pagerank",
-                  "graph_stress_lpa", "graph_stress_kcore"):
+                  "graph_stress_lpa", "graph_stress_kcore",
+                  "graph_stress_bfs", "graph_stress_inc_cc"):
             spread[k] = [timings[k], timings[k]]
         stress.update(
             {

@@ -192,30 +192,44 @@ def _sentence_relations(slots: list[_Slot]) -> list[tuple[_Slot, _Slot, str]]:
     return rels
 
 
-def _nav_links(doc_id: int) -> str:
+def _nav_links(doc_id: int, topic_term: str | None = None) -> str:
     """Deterministic outlinks for the page's <nav> — pure function of
-    doc_id (corpus-size independent, so the distributed generator stays
-    embarrassingly parallel). The three links exercise the URL-normalizer's
-    rule set exactly once each: a fragment, an uppercase host + default
-    port + tracking params (raw ``&`` separators, as on the real web), and
-    a mirror host with a trailing slash. They live OUTSIDE <article>, so
-    the boilerplate-stripped text — and every pipeline gold — is untouched."""
+    (doc_id, the doc's own first disease surface), so the distributed
+    generator stays embarrassingly parallel. The three base links exercise
+    the URL-normalizer's rule set exactly once each: a fragment, an
+    uppercase host + default port + tracking params (raw ``&`` separators,
+    as on the real web), and a mirror host with a trailing slash. Pages
+    that mention a disease add a fourth TOPIC link whose anchor text names
+    the entity (the classic anchor-text entity-linking signal: many pages
+    pointing at one topic URL with a concept surface in the anchor);
+    doc_id mod 40 folds them onto shared topic pages. All links live
+    OUTSIDE <article>, so the boilerplate-stripped text — and every
+    pipeline gold — is untouched."""
     t1 = doc_id * 3 + 1
     t2 = doc_id + 7
     ext = doc_id % 5
-    return (
+    links = (
         f'<a href="https://fixture.test/doc/{t1}#sec{doc_id % 3}">関連記事 {t1}</a>'
         f'<a href="HTTPS://Fixture.TEST:443/doc/{t2}?utm_source=nav&id={t2 % 4}'
         f'&ref=footer">特集 {t2}</a>'
         f'<a href="https://mirror{ext}.fixture.test/doc/{doc_id}/">ミラー {doc_id}</a>'
     )
+    if topic_term is not None:
+        links += (
+            f'<a href="https://fixture.test/topic/{doc_id % 40}">'
+            f"{escape_html(topic_term)}の解説</a>"
+        )
+    return links
 
 
-def _make_html(sentences: list[str], doc_id: int) -> str:
+def _make_html(
+    sentences: list[str], doc_id: int, topic_term: str | None = None
+) -> str:
     body = "".join(f"<p>{escape_html(s)}</p>" for s in sentences)
     return (
         "<html><head><title>fixture</title><script>var x=1;</script></head>"
-        f"<body><nav>ナビゲーション {doc_id}{_nav_links(doc_id)}</nav>"
+        f"<body><nav>ナビゲーション {doc_id}"
+        f"{_nav_links(doc_id, topic_term)}</nav>"
         f"<article>{body}</article>"
         "<footer>コピーライト fixture.test</footer></body></html>"
     )
@@ -308,10 +322,19 @@ def gen_doc(
         doc_slots.append((sent_id, slots))
 
     text = "\n".join(sentences)
+    topic_term = next(
+        (
+            s.surface
+            for _, slots in doc_slots
+            for s in slots
+            if s.role == "dis"
+        ),
+        None,
+    )
     page = {
         "url": url,
         "warc_ts": warc_ts,
-        "html": _make_html(sentences, doc_id).encode("utf-8"),
+        "html": _make_html(sentences, doc_id, topic_term).encode("utf-8"),
         "text": text,
         "lang": "ja",
     }

@@ -145,3 +145,52 @@ def host_graph(links: "DataFrame") -> "DataFrame":
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+#: the engine's pinned tokenizer grammar (jamie_spark.tokenizer._char_class)
+#: as a Java/RE2-common alternation: maximal runs of kanji(+々) / hiragana /
+#: katakana / ASCII alnum+dot, any other char alone. Token-for-token
+#: identical to tokenizer.tokenize (pinned by tests/test_linkgraph.py), so
+#: anchor tokens match dictionary aliases exactly like the pipeline's NER.
+TOKEN_RE = (
+    r"[\x{4E00}-\x{9FFF}\x{3005}]+|[\x{3040}-\x{309F}]+"
+    r"|[\x{30A0}-\x{30FF}]+|[A-Za-z0-9.]+|."
+)
+
+
+def anchor_concepts(
+    links: "DataFrame", concept_dict: "DataFrame"
+) -> "DataFrame":
+    """Anchor-text entity linking: which concepts does the web SAY a target
+    page is about? Every anchor token is matched against the concept alias
+    dictionary; the rollup counts distinct (referring page, concept) pairs
+    per target — the classic KG-construction signal (anchor text as a
+    crowd-sourced entity label for the linked page), fused from the link
+    tier and the pipeline's own concept dictionary.
+
+    Plan: anchors tokenize JVM-side with the pinned grammar (one codegen'd
+    regexp per row — no Python), the token explode is bounded by anchor
+    length, and the alias table is a broadcast dim join (the dictionary,
+    like the pipeline's NER stage). Returns (dst_url, concept_id, n_refs)
+    where n_refs counts DISTINCT referring pages.
+    """
+    # lit-pattern form: the grammar contains backslash escapes that a SQL
+    # string literal (F.expr) would consume
+    toks = links.select(
+        "src_url",
+        "dst_url",
+        F.explode(
+            F.regexp_extract_all("anchor", F.lit(TOKEN_RE), F.lit(0))
+        ).alias("tok"),
+    )
+    aliases = concept_dict.select(
+        "concept_id", F.col("alias").alias("tok")
+    ).distinct()
+    hits = (
+        toks.join(F.broadcast(aliases), "tok")
+        .select("src_url", "dst_url", "concept_id")
+        .distinct()
+    )
+    return hits.groupBy("dst_url", "concept_id").agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )

@@ -58,16 +58,80 @@ def test_extract_links_drops_non_web_targets(spark):
 
 
 def test_extract_links_fixture_count_and_host_graph(spark):
-    """Every fixture page emits exactly 3 nav links; the host rollup
+    """Extraction finds exactly the anchors the generator wrote (3 base nav
+    links + 1 topic link on disease-mentioning pages); the host rollup
     totals must equal the edge count."""
-    pages = fixtures.pages_df(spark, 20, seed=7)
+    n = 20
+    pages = fixtures.pages_df(spark, n, seed=7)
+    want = sum(
+        fixtures.gen_doc(i, seed=7)[0]["html"].decode("utf-8").count("<a href")
+        for i in range(n)
+    )
+    assert want >= 3 * n  # every page has the 3 base links
     links = linkgraph.extract_links(pages)
-    assert links.count() == 60
+    assert links.count() == want
     hg = linkgraph.host_graph(links)
-    assert hg.agg(F.sum("n_links")).first()[0] == 60
+    assert hg.agg(F.sum("n_links")).first()[0] == want
     # mirror hosts fan out by doc_id % 5
     mirrors = {r["dst_host"] for r in hg.collect() if "mirror" in r["dst_host"]}
     assert mirrors == {f"mirror{k}.fixture.test" for k in range(5)}
+
+
+def test_anchor_token_grammar_matches_tokenizer(spark):
+    """linkgraph.TOKEN_RE must tokenize anchors like the engine's
+    tokenizer MODULO whitespace (the tokenizer drops it; the raw grammar
+    emits it as catch-all single chars, which can never match an alias, so
+    the dictionary join is identical) — the invariant that makes anchor
+    tokens joinable against the same alias dictionary the pipeline NER
+    uses."""
+    from jamie_spark.tokenizer import tokenize
+
+    anchors = [
+        "肺癌の解説", "関連記事 41", "特集 9", "ミラー 3",
+        "COPD治療2020年、骨シンチ検査！",
+    ]
+    df = spark.createDataFrame([(a,) for a in anchors], "anchor string")
+    got = {
+        r["anchor"]: [t for t in r["toks"] if not t.isspace()]
+        for r in df.select(
+            "anchor",
+            F.regexp_extract_all(
+                "anchor", F.lit(linkgraph.TOKEN_RE), F.lit(0)
+            ).alias("toks"),
+        ).collect()
+    }
+    for a in anchors:
+        assert got[a] == tokenize(a), a
+
+
+def test_anchor_concepts_maps_topic_pages(spark):
+    """Disease-mentioning pages link a topic URL with the disease surface
+    in the anchor; anchor_concepts must roll those up to the topic pages
+    with the RIGHT concept ids and distinct-referrer counts."""
+    pages = fixtures.pages_df(spark, 30, seed=7)
+    links = linkgraph.extract_links(pages)
+    concepts_df = fixtures.concept_df(spark)
+    got = linkgraph.anchor_concepts(links, concepts_df).collect()
+    assert got, "no anchor-concept hits on a disease-rich fixture corpus"
+    valid_cids = {r["concept_id"] for r in concepts_df.collect()}
+    for r in got:
+        assert r["dst_url"].startswith("https://fixture.test/topic/")
+        assert r["concept_id"] in valid_cids
+        assert r["n_refs"] >= 1
+    # spot-check one page end-to-end: its disease surface's concept id is
+    # credited to its topic URL
+    page, mentions, _, _ = fixtures.gen_doc(1, seed=7)
+    dis = next((m for m in mentions if m["ner_tag"] == "d"), None)
+    if dis is not None:
+        alias2cid = {
+            r["alias"]: r["concept_id"] for r in concepts_df.collect()
+        }
+        cid = alias2cid.get(dis["surface"])
+        if cid is not None:
+            hits = {
+                (r["dst_url"], r["concept_id"]) for r in got
+            }
+            assert ("https://fixture.test/topic/1", cid) in hits
 
 
 def test_extracted_article_text_untouched_by_nav_links(spark):
