@@ -333,9 +333,13 @@ def incremental_components(
          set (self-loops — edges internal to one existing component — drop
          out first);
       3. relabel: merged roots move only the AFFECTED components' rows —
-         the moved-roots map is at most 2x batch size, broadcast onto the
-         label table; untouched rows coalesce through unchanged. New
-         vertices append with their merged (or own) root.
+         the moved-roots map is at most 2x batch size; the join against
+         the label table is left un-hinted so AQE broadcasts it when the
+         batch is small (the usual ingest shape) and falls back to a
+         shuffle join for a giant backfill batch, where a forced
+         broadcast would OOM the executors. Untouched rows coalesce
+         through unchanged; new vertices append with their merged (or
+         own) root.
     """
     lab = labels.select("vertex", "component")
     src_c = lab.select(
@@ -368,7 +372,7 @@ def incremental_components(
         F.col("vertex").alias("component"), F.col("component").alias("new_comp")
     )
     relabeled = (
-        lab.join(F.broadcast(moved), "component", "left")
+        lab.join(moved, "component", "left")
         .select(
             "vertex",
             F.coalesce("new_comp", F.col("component")).alias("component"),
