@@ -951,8 +951,8 @@ def _link_anchor_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kg_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-tail negative sampling (kgstats.negative_sample) over the
-    distinct window triples: md5-slot picks from the ranked tail vocab,
-    known positives anti-joined out. The oracle replays the identical
+    distinct window triples: md5-slot picks from the ranked heads+tails
+    entity vocab, known positives anti-joined out. The oracle replays the
     60-bit md5-prefix mod arithmetic on the same DISTINCT triple set."""
     from jamie_spark import kgstats
 
