@@ -115,6 +115,49 @@ def test_quantile_sketch_no_python_and_partial_agg(spark, tmp_path):
     assert "partial_count" in plan  # map-side combine before the exchange
 
 
+def test_link_extraction_no_python(spark):
+    """The anchor scan over raw crawl HTML must be one codegen'd JVM pass —
+    regexp_extract_all + explode + regexp chain, no Python/Arrow stage."""
+    from jamie_spark import linkgraph
+
+    pages = fixtures.pages_df(spark, 20, seed=5)
+    links = linkgraph.extract_links(pages)
+    plan = _plan(links)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage codegen span
+
+
+def test_anchor_concepts_broadcasts_dictionary(spark):
+    """Anchor-text entity linking must broadcast the alias dictionary —
+    the anchor-token side (web-sized) must never shuffle for the join."""
+    from jamie_spark import linkgraph
+
+    pages = fixtures.pages_df(spark, 20, seed=5)
+    links = linkgraph.extract_links(pages)
+    df = linkgraph.anchor_concepts(links, fixtures.concept_df(spark))
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # exchanges may carry the tiny alias distinct (concept_id, tok) and the
+    # post-join url/concept rollups — never the anchor TOKEN STREAM (a tok
+    # exchange that still carries page urls = the big side shuffled pre-join)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "tok" in line:
+            assert "url" not in line, f"token stream shuffled: {line.strip()}"
+
+
+def test_host_graph_partial_aggregation(spark):
+    """The host rollup must map-side combine (partial_count before the
+    exchange) — at 1e12 edges the shuffle moves host-pair partials, not
+    raw edge rows."""
+    from jamie_spark import linkgraph
+
+    pages = fixtures.pages_df(spark, 20, seed=5)
+    hosts = linkgraph.host_graph(linkgraph.extract_links(pages))
+    plan = _plan(hosts)
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_entity_sim_zipf_no_cartesian(spark):
     """Pair generation on the power-law graph must go through the wedge
     equi-join (shared-neighbor key), never a cartesian product."""
