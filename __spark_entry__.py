@@ -984,6 +984,73 @@ def _link_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.host_graph(linkgraph.extract_links(pages))
 
 
+#: link-stream replay fixture: batch 0 = the link fixture corpus, batch 1 =
+#: a second corpus re-homed onto a substituted host (distinct urls, same
+#: html grammar). Single source for the Spark entries AND their oracles.
+_LSTREAM_B0_DOCS, _LSTREAM_B1_DOCS, _LSTREAM_B1_SEED = 60, 40, 43
+_LSTREAM_HOST_OLD = "https://fixture.test/"
+_LSTREAM_HOST_NEW = "https://b1.fixture.test/"
+#: crawl-politeness budget: 256-byte cost blocks (fixture pages are 469-756
+#: bytes -> costs 2-3, so the per-host walk has a real varying prefix sum),
+#: 72 blocks (~18 KiB) per host — binds on BOTH fixture hosts
+_CRAWL_UNIT, _CRAWL_BUDGET = 256, 72
+_LSTREAM_SPECS = (
+    (_LSTREAM_B0_DOCS, _LINK_SEED, None),
+    (_LSTREAM_B1_DOCS, _LSTREAM_B1_SEED, (_LSTREAM_HOST_OLD, _LSTREAM_HOST_NEW)),
+)
+
+
+def _lstream_batches(spark: SparkSession):
+    """The two replay micro-batches behind stream_link_hosts_replay /
+    crawl_budget_hosts; seeds/sub mirror _LSTREAM_SPECS exactly."""
+    b0 = fixtures.pages_df(spark, _LSTREAM_B0_DOCS, seed=_LINK_SEED)
+    b1 = fixtures.pages_df(
+        spark, _LSTREAM_B1_DOCS, seed=_LSTREAM_B1_SEED
+    ).withColumn(
+        "url",
+        F.regexp_replace(
+            "url",
+            "^" + _LSTREAM_HOST_OLD.replace(".", "\\."),
+            _LSTREAM_HOST_NEW,
+        ),
+    )
+    return b0, b1
+
+
+def _stream_link_hosts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming host-graph maintenance, value-oracled via the replay
+    trick: batch 0 commits its host-pair delta, compacts into a base
+    rollup, REPLAYS batch 0 (the at-least-once case — the totals reader
+    must ignore a re-committed compacted batch), batch 1 lands as a delta,
+    and the returned totals are base + delta summed on read. The oracle is
+    the host rollup over the UNION of both batches' pages — equal because
+    counts are associative and the replayed partition is ignored."""
+    import os as _os
+
+    from jamie_spark import streaming
+
+    store = f"/tmp/jamie_link_stream_{_os.getpid()}/hosts"
+    b0, b1 = _lstream_batches(spark)
+    streaming.process_link_batch(b0, 0, store)
+    streaming.compact_link_store(spark, store, 0)
+    streaming.process_link_batch(b0, 0, store)  # replayed compacted batch
+    streaming.process_link_batch(b1, 1, store)
+    return streaming.host_graph_totals(spark, store)
+
+
+def _crawl_budget_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-politeness budgeting (linkgraph.crawl_budget): each
+    host's pages kept along the md5(url) walk until ~18 KiB of fetch cost,
+    boundary page inclusive. Oracle replays the 256-byte ceil cost and the
+    per-host running sum as one window over the same VALUES pages."""
+    from jamie_spark import linkgraph
+
+    b0, b1 = _lstream_batches(spark)
+    return linkgraph.crawl_budget(
+        b0.unionByName(b1), _CRAWL_BUDGET, unit_bytes=_CRAWL_UNIT
+    )
+
+
 #: BM25 query terms — single source for the Spark entry and the oracle
 _BM25_TERMS = ("spark", "stream", "sort")
 
@@ -1485,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_graph": _link_host_graph,
         "link_host_rank": _link_host_rank,
         "link_anchor_concepts": _link_anchor_concepts,
+        "stream_link_hosts_replay": _stream_link_hosts_replay,
+        "crawl_budget_hosts": _crawl_budget_hosts,
         "kg_negative_sample": _kg_negative_sample,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_triple_intervals": _kg_triple_intervals,
@@ -1506,12 +1575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": _broadcast_dim_join,
         "tumbling_window": _tumbling_window,
         "skew_salted_agg": _skew_salted_agg,
-        "sessionization": _sessionization,
-        "asof_join": _asof_join,
         # ---- position-50 cutoff: everything below was green in r04 on code
         # ---- untouched this round (the fixture change is html-only nav
-        # ---- links; no entry below reads fixture html), and rotates into
+        # ---- links; no entry below reads fixture html — sessionization /
+        # ---- asof_join read the events/orders parquet), and rotates into
         # ---- the head next round
+        "sessionization": _sessionization,
+        "asof_join": _asof_join,
         "asof_join_fwd": _asof_join_fwd,
         "range_count_1h": _range_count,
         "search_bm25": _search_bm25,
@@ -1736,18 +1806,33 @@ def _alias_values() -> str:
     )
 
 
-def _link_edges_sql() -> str:
+def _link_pages_values(specs) -> str:
+    """(url, html) VALUES rows for a list of (n_docs, seed, host_sub)
+    corpus specs; host_sub=(old_prefix, new_prefix) re-homes the urls the
+    same way _lstream_batches does Spark-side."""
+    rows = []
+    for docs, seed, sub in specs:
+        pages, _, _, _ = fixtures.gen_corpus(docs, seed)
+        for p in pages:
+            url = (
+                p["url"]
+                if sub is None
+                else sub[1] + p["url"][len(sub[0]):]
+            )
+            rows.append(
+                f"({_sql_str(url)}, {_sql_str(p['html'].decode('utf-8'))})"
+            )
+    return ", ".join(rows)
+
+
+def _link_edges_sql(specs=None) -> str:
     """DuckDB twin of linkgraph.extract_links over the fixture pages:
     renders (url, html) VALUES from the SAME generator and replays the
     anchor scan + URL canonicalization with linkgraph.py's shared regex
     constants — any drift in the rule set breaks the value hash."""
     from jamie_spark import linkgraph as lg
 
-    pages, _, _, _ = fixtures.gen_corpus(_LINK_DOCS, _LINK_SEED)
-    vals = ", ".join(
-        f"({_sql_str(p['url'])}, {_sql_str(p['html'].decode('utf-8'))})"
-        for p in pages
-    )
+    vals = _link_pages_values(specs or ((_LINK_DOCS, _LINK_SEED, None),))
     return f"""
 linkpages(url, html) AS (VALUES {vals}),
 ltags AS (
@@ -2910,6 +2995,32 @@ FROM lnorm
 GROUP BY 1, 2
 """,
         "link_host_rank": _pagerank_sql(5, edges_cte=_host_edges_cte()),
+        "stream_link_hosts_replay": f"""
+WITH {_link_edges_sql(_LSTREAM_SPECS).strip()}
+SELECT lower(regexp_extract(src_url, '{_lg_host_re()}', 1)) AS src_host,
+       lower(regexp_extract(dst_url, '{_lg_host_re()}', 1)) AS dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links
+FROM lnorm
+GROUP BY 1, 2
+""",
+        "crawl_budget_hosts": f"""
+WITH lp(url, html) AS (VALUES {_link_pages_values(_LSTREAM_SPECS)}),
+w AS (
+    SELECT url,
+           lower(regexp_extract(url, '{_lg_host_re()}', 1)) AS host,
+           (CAST(octet_length(encode(html)) AS BIGINT) + {_CRAWL_UNIT - 1})
+               // {_CRAWL_UNIT} AS cost
+    FROM lp),
+c AS (
+    SELECT url, host, cost,
+           CAST(SUM(cost) OVER (
+               PARTITION BY host
+               ORDER BY md5(url), url
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+    FROM w)
+SELECT url, host, cost, cum_cost
+FROM c WHERE cum_cost - cost < {_CRAWL_BUDGET}
+""",
         "link_anchor_concepts": f"""
 WITH {_link_edges_sql().strip()},
 ali(concept_id, tok) AS (VALUES {_alias_values()}),

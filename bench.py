@@ -168,6 +168,10 @@ def main() -> None:
         "link_host_graph",
         "link_host_rank",
         "link_anchor_concepts",
+        "crawl_budget_hosts",
+        # stream_link_hosts_replay is a correctness vehicle (replay loop
+        # over a /tmp store), untimed for the same reason as
+        # stream_dedup_replay below
         "kg_pipeline_triples_numpy",
         "approx_percentiles",
         "cms_user_counts",

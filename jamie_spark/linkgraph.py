@@ -147,6 +147,56 @@ def host_graph(links: "DataFrame") -> "DataFrame":
     )
 
 
+def crawl_budget(
+    pages: "DataFrame",
+    cost_budget: int,
+    unit_bytes: int = 1024,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "DataFrame":
+    """(url, host, cost, cum_cost) — per-host crawl-politeness budgeting:
+    walk each host's pages in md5(url) order (the repo's stable unbiased
+    shuffle — no RNG, engine/partitioning/resume-invariant) and keep pages
+    while the host's BYTE budget is not yet exhausted before them
+    (keep iff ``cum_cost - cost < cost_budget``; the boundary page that
+    crosses the budget is kept, matching token_budget_sample's floor
+    contract). The crawl-scheduling primitive "fetch at most ~N bytes per
+    host this cycle": per-host rates fall out of one budget knob, the kept
+    set is bit-reproducible, and re-crawl selection never needs a central
+    scheduler.
+
+    Cost is the page's html size in whole ``unit_bytes`` blocks (integer
+    ceil — exact arithmetic, so the operator value-oracles like the
+    samplers). Scale shape: the shared two-phase md5-prefix bucket prefix
+    sum (textstats._md5_walk_cumsum) — a dominant host (one host IS a
+    large crawl's hot key) never sorts in a single task, and beyond-budget
+    buckets are pruned before any per-row window.
+    """
+    from . import textstats
+
+    d = pages.select(
+        F.col(url_col).alias("doc_id"),
+        url_host(F.col(url_col)).alias("host"),
+    )
+    # whole-block ceil in long arithmetic; length(binary) counts BYTES
+    u = int(unit_bytes)
+    w = pages.select(
+        F.col(url_col).alias("doc_id"),
+        F.expr(f"(length({html_col}) + {u - 1}) div {u}").alias("n_tokens"),
+    )
+    cum = textstats._md5_walk_cumsum(
+        d, ["host"], max_cum=cost_budget, weights=w
+    )
+    return cum.where(
+        F.col("cum_tokens") - F.col("n_tokens") < cost_budget
+    ).select(
+        F.col("doc_id").alias("url"),
+        "host",
+        F.col("n_tokens").alias("cost"),
+        F.col("cum_tokens").alias("cum_cost"),
+    )
+
+
 #: the engine's pinned tokenizer grammar (jamie_spark.tokenizer._char_class)
 #: as a Java/RE2-common alternation: maximal runs of kanji(+々) / hiragana /
 #: katakana / ASCII alnum+dot, any other char alone. Token-for-token

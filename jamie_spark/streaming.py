@@ -295,6 +295,138 @@ def stream_kg_dedup(
     )
 
 
+def _store_parts(
+    spark: "SparkSession", store_dir: str, prefix: str
+) -> list[tuple[int, str]]:
+    """(id, path) for every ``{prefix}{N}`` partition dir under the store.
+    Hadoop FileSystem listing like :func:`_prior_signatures` — the store
+    lives wherever Spark can write (hdfs://, s3a://, file://)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(store_dir, prefix + "*")
+    )
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    out = []
+    for st in statuses or []:
+        p = st.getPath().toString()
+        b = p.rsplit("=", 1)[1]
+        if b.isdigit():
+            out.append((int(b), p))
+    return out
+
+
+def process_link_batch(
+    batch_df: "DataFrame", batch_id: int, store_dir: str
+) -> None:
+    """One micro-batch of LINK-GRAPH maintenance: extract the batch's
+    hyperlink edges from raw crawl html, roll them up to host-pair counts,
+    and commit the DELTA to ``store_dir/batch={id}``. The host graph a
+    crawl scheduler reads is the sum of the deltas (:func:`host_graph_totals`)
+    — counts are associative, so maintenance is O(batch) however large the
+    accumulated graph, the streaming analogue of the signature store's
+    never-re-shingle contract.
+
+    Idempotence on replay (foreachBatch is at-least-once): the delta sink
+    is a batch-keyed overwrite, and after compaction the totals reader
+    IGNORES batch partitions the base rollup already covers — a replayed
+    compacted batch overwrites an ignored partition, totals unchanged.
+    """
+    from . import linkgraph
+
+    if batch_df.isEmpty():
+        return
+    delta = linkgraph.host_graph(linkgraph.extract_links(batch_df))
+    delta.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"batch={batch_id}")
+    )
+
+
+def host_graph_totals(spark: "SparkSession", store_dir: str) -> "DataFrame":
+    """Current (src_host, dst_host, n_links) host graph: the newest base
+    rollup plus the delta partitions AFTER it, summed on read — one hash
+    aggregation over host-pair partials, never raw edges."""
+    bases = _store_parts(spark, store_dir, "base=")
+    k = max(b for b, _ in bases) if bases else None
+    paths = [
+        p for b, p in _store_parts(spark, store_dir, "batch=")
+        if k is None or b > k
+    ]
+    if k is not None:
+        paths.append(dict(bases)[k])
+    if not paths:
+        return spark.createDataFrame(
+            [], "src_host string, dst_host string, n_links long"
+        )
+    return (
+        spark.read.parquet(*paths)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
+
+
+def compact_link_store(
+    spark: "SparkSession", store_dir: str, upto_batch: int
+) -> None:
+    """Fold the delta partitions with id <= ``upto_batch`` (plus any older
+    base) into one ``base={upto_batch}`` rollup, bounding the totals
+    reader's read amplification to base + deltas-since. No-op when an
+    equal-or-newer base exists (re-compacting a fold the base already
+    covers would double-count). Consumed partitions are deleted only AFTER
+    the new base commits; a crash in between leaves them present but
+    ignored by the reader — totals stay consistent."""
+    bases = _store_parts(spark, store_dir, "base=")
+    k_old = max(b for b, _ in bases) if bases else None
+    if k_old is not None and k_old >= upto_batch:
+        return
+    paths = [
+        p for b, p in _store_parts(spark, store_dir, "batch=")
+        if (k_old is None or b > k_old) and b <= upto_batch
+    ]
+    if k_old is not None:
+        paths.append(dict(bases)[k_old])
+    if not paths:
+        return
+    (
+        spark.read.parquet(*paths)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n_links"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(store_dir, f"base={upto_batch}"))
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, True)
+
+
+def stream_link_hosts(
+    pages_stream: "DataFrame",
+    checkpoint_dir: str,
+    store_dir: str,
+    compact_every: int = 16,
+) -> "StreamingQuery":
+    """Continuous host-graph maintenance over the crawl stream: each
+    micro-batch commits its host-pair delta; every ``compact_every``
+    batches the deltas fold into a base rollup so the scheduler-facing
+    read (:func:`host_graph_totals`) stays bounded."""
+
+    def process(batch_df: "DataFrame", batch_id: int) -> None:
+        process_link_batch(batch_df, batch_id, store_dir)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_link_store(
+                batch_df.sparkSession, store_dir, batch_id - 1
+            )
+
+    return (
+        pages_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_GAP_SEC = 1800
 
 

@@ -1159,18 +1159,25 @@ def token_budget_sample(
 
 
 def _md5_walk_cumsum(
-    docs: "DataFrame", gpart: list[str], max_cum: int | None = None
+    docs: "DataFrame",
+    gpart: list[str],
+    max_cum: int | None = None,
+    weights: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Distributed exact prefix sum of ``n_tokens`` along the md5(doc_id)
-    walk order, per group — the shared core of :func:`token_budget_sample`
-    and :func:`sequence_pack`. Two-phase shape (see token_budget_sample's
-    docstring for the scale rationale): md5-PREFIX buckets preserve walk
-    order, per-bucket sums aggregate in parallel, running offsets live on
-    the tiny bucket table, and the only per-row window is per
-    (group, bucket). ``max_cum`` prunes buckets whose offset already meets
-    it BEFORE the per-row window (budget callers never sort beyond-budget
-    rows). Returns doc_id[, group cols], n_tokens, cum_tokens."""
-    toks = token_counts(docs)
+    walk order, per group — the shared core of :func:`token_budget_sample`,
+    :func:`sequence_pack`, and ``linkgraph.crawl_budget``. Two-phase shape
+    (see token_budget_sample's docstring for the scale rationale):
+    md5-PREFIX buckets preserve walk order, per-bucket sums aggregate in
+    parallel, running offsets live on the tiny bucket table, and the only
+    per-row window is per (group, bucket). ``max_cum`` prunes buckets whose
+    offset already meets it BEFORE the per-row window (budget callers never
+    sort beyond-budget rows). ``weights`` substitutes an explicit
+    (doc_id, n_tokens) integer-weight table for the default whitespace
+    token counts — any exact integer cost (bytes, pages, fetch units)
+    prefix-sums the same way. Returns doc_id[, group cols], n_tokens,
+    cum_tokens."""
+    toks = token_counts(docs) if weights is None else weights
     cols = ["doc_id"] + gpart
     d = (
         docs.select(*cols)

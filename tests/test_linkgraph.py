@@ -143,3 +143,69 @@ def test_extracted_article_text_untouched_by_nav_links(spark):
     text = extract_text(page["html"])
     assert "関連記事" not in text and "ミラー" not in text
     assert text == page["text"]
+
+
+# --------------------------------------------------------------------------
+# Per-host crawl-politeness budgeting
+# --------------------------------------------------------------------------
+
+
+def test_crawl_budget_matches_window_reference(spark):
+    """The two-phase bucket prefix sum == the single-window reference on a
+    small two-host corpus, under any input partitioning."""
+    from pyspark.sql import Window
+
+    b0 = fixtures.pages_df(spark, 30, seed=31)
+    b1 = fixtures.pages_df(spark, 20, seed=32).withColumn(
+        "url",
+        F.regexp_replace(
+            "url", "^https://fixture\\.test/", "https://h2.test/"
+        ),
+    )
+    pages = b0.unionByName(b1)
+    budget, unit = 24, 256
+
+    costs = pages.select(
+        "url",
+        linkgraph.url_host(F.col("url")).alias("host"),
+        F.expr(f"(length(html) + {unit - 1}) div {unit}").alias("cost"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(F.md5("url"), "url")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        tuple(r)
+        for r in costs.withColumn("cum_cost", F.sum("cost").over(w))
+        .where(F.col("cum_cost") - F.col("cost") < budget)
+        .collect()
+    }
+    got = {
+        tuple(r)
+        for r in linkgraph.crawl_budget(
+            pages, budget, unit_bytes=unit
+        ).collect()
+    }
+    assert got == ref and len(got) > 0
+    rep = {
+        tuple(r)
+        for r in linkgraph.crawl_budget(
+            pages.repartition(7), budget, unit_bytes=unit
+        ).collect()
+    }
+    assert rep == got
+
+
+def test_crawl_budget_floor_contract_per_host(spark):
+    """Each host spends AT LEAST the budget when it has enough pages (the
+    boundary page that crosses is kept), and never a full page more."""
+    pages = fixtures.pages_df(spark, 40, seed=33)
+    budget = 20
+    kept = linkgraph.crawl_budget(pages, budget, unit_bytes=256)
+    rows = kept.groupBy("host").agg(
+        F.max("cum_cost").alias("spent"), F.max("cost").alias("maxc")
+    ).collect()
+    for r in rows:
+        assert r["spent"] >= budget  # floor: boundary page kept
+        assert r["spent"] < budget + r["maxc"]  # never beyond one page

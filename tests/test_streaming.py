@@ -479,3 +479,110 @@ def test_stream_dedup_short_pages_not_exempt(spark, tmp_path):
     }
     assert ids["https://mirror.test/tiny"] not in surv1  # mirror dropped
     assert ids["https://b.test/other"] in surv1          # distinct kept
+
+
+# --------------------------------------------------------------------------
+# Streaming link-graph maintenance (host-pair delta store)
+# --------------------------------------------------------------------------
+
+
+def _linkstore_batches(spark):
+    b0 = fixtures.pages_df(spark, 30, seed=31)
+    b1 = fixtures.pages_df(spark, 20, seed=32).withColumn(
+        "url",
+        F.regexp_replace(
+            "url", "^https://fixture\\.test/", "https://h2.test/"
+        ),
+    )
+    return b0, b1
+
+
+def _hosts_equal(tot, ref):
+    return (
+        tot.exceptAll(ref).count() == 0 and ref.exceptAll(tot).count() == 0
+    )
+
+
+def test_link_store_totals_equal_batch_rollup(spark, tmp_path):
+    """Summed link-store deltas == the host rollup over the union of the
+    batches (counts are associative); replaying an UNcompacted batch
+    overwrites its delta partition — totals unchanged."""
+    from jamie_spark import linkgraph
+
+    b0, b1 = _linkstore_batches(spark)
+    store = str(tmp_path / "hosts")
+    streaming.process_link_batch(b0, 0, store)
+    streaming.process_link_batch(b1, 1, store)
+    ref = linkgraph.host_graph(linkgraph.extract_links(b0.unionByName(b1)))
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+    streaming.process_link_batch(b1, 1, store)  # at-least-once replay
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+
+
+def test_link_store_compaction_and_replay(spark, tmp_path):
+    """Compaction folds deltas into one base (same totals, consumed deltas
+    deleted); a replayed COMPACTED batch re-commits a partition the totals
+    reader ignores; re-compacting at the same watermark is a no-op (no
+    double count)."""
+    import os
+
+    from jamie_spark import linkgraph
+
+    b0, b1 = _linkstore_batches(spark)
+    store = str(tmp_path / "hosts")
+    streaming.process_link_batch(b0, 0, store)
+    streaming.process_link_batch(b1, 1, store)
+    ref = linkgraph.host_graph(linkgraph.extract_links(b0.unionByName(b1)))
+
+    streaming.compact_link_store(spark, store, 1)
+    names = sorted(os.listdir(store))
+    assert "base=1" in names
+    assert not any(n.startswith("batch=") for n in names)
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+
+    streaming.process_link_batch(b0, 0, store)  # replay of compacted batch
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+    streaming.compact_link_store(spark, store, 1)  # same watermark: no-op
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+
+
+def test_link_store_incremental_compaction(spark, tmp_path):
+    """A second compaction folds only the deltas SINCE the previous base
+    (base + newer batches), never re-reading what the base covers."""
+    from jamie_spark import linkgraph
+
+    b0, b1 = _linkstore_batches(spark)
+    store = str(tmp_path / "hosts")
+    streaming.process_link_batch(b0, 0, store)
+    streaming.compact_link_store(spark, store, 0)
+    streaming.process_link_batch(b1, 1, store)
+    streaming.compact_link_store(spark, store, 1)
+    ref = linkgraph.host_graph(linkgraph.extract_links(b0.unionByName(b1)))
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+
+
+def test_link_store_empty_and_missing(spark, tmp_path):
+    """A never-written store reads as an empty host graph; an empty batch
+    commits nothing."""
+    store = str(tmp_path / "none")
+    assert streaming.host_graph_totals(spark, store).count() == 0
+    empty = spark.createDataFrame([], fixtures.PAGES_DDL)
+    streaming.process_link_batch(empty, 0, store)
+    assert streaming.host_graph_totals(spark, store).count() == 0
+
+
+def test_stream_link_hosts_end_to_end(spark, staged_corpus, tmp_path):
+    """The foreachBatch stream over the file source maintains the same
+    host graph the batch rollup computes."""
+    from jamie_spark import linkgraph
+
+    input_dir, pages = staged_corpus
+    store = str(tmp_path / "hosts")
+    q = streaming.stream_link_hosts(
+        streaming.read_page_stream(spark, input_dir, max_files_per_trigger=2),
+        str(tmp_path / "ckpt"),
+        store,
+    )
+    q.awaitTermination(300)
+    ref = linkgraph.host_graph(linkgraph.extract_links(pages))
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
