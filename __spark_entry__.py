@@ -923,12 +923,12 @@ def _link_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgstats.pagerank_fixed(e, iters=5)
 
 
-def _host_edges_cte() -> str:
+def _host_edges_cte(specs=None) -> str:
     """edges/nodes CTEs over the extracted HOST graph, for _pagerank_sql."""
     from jamie_spark import linkgraph as lg
 
     return f"""
-{_link_edges_sql().strip()},
+{_link_edges_sql(specs).strip()},
 edges AS (
     SELECT DISTINCT lower(regexp_extract(src_url, '{lg.HOST_RE}', 1)) AS src,
            lower(regexp_extract(dst_url, '{lg.HOST_RE}', 1)) AS dst
@@ -1036,6 +1036,61 @@ def _stream_link_hosts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.process_link_batch(b0, 0, store)  # replayed compacted batch
     streaming.process_link_batch(b1, 1, store)
     return streaming.host_graph_totals(spark, store)
+
+
+#: crawl-frontier knobs: top-K hosts by PageRank, per-host fetch quota
+_FRONTIER_HOSTS, _FRONTIER_QUOTA = 3, 8
+
+
+def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-gated crawl frontier (linkgraph.crawl_frontier): uncrawled
+    outbound targets of the two-batch corpus, gated to the top-3 hosts by
+    host PageRank, 8 fetch slots per host along the md5(url) walk. The
+    oracle composes the unrolled int64 PageRank chain with a NOT IN
+    anti-join and a per-host ROW_NUMBER over the same md5 order."""
+    from jamie_spark import linkgraph
+
+    b0, b1 = _lstream_batches(spark)
+    return linkgraph.crawl_frontier(
+        b0.unionByName(b1), _FRONTIER_HOSTS, _FRONTIER_QUOTA
+    )
+
+
+#: snapshot-diff knobs: ledger sparsified to every 41st doc (the dense
+#: full ledger re-asserts the same obj set every hour, so consecutive
+#: snapshots never differ), cutoffs inside the sf0.01 data range
+_DIFF_MOD, _DIFF_T0, _DIFF_T1 = 41, 100 * 3600, 300 * 3600
+
+
+def _kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG change detection (temporal.snapshot_diff): the believed (subj,
+    pred) assertions at the 100h cutoff vs the 300h cutoff over a
+    sparsified ledger — keys whose belief CHANGED between the snapshots
+    (an append-only ledger with early-seen keys can't add or remove; both
+    classifications are pinned by unit tests on handmade ledgers).
+    Oracle: two ROW_NUMBER snapshots full-outer-joined, kept where the
+    objects differ (obj is never null in the fixture, so value
+    distinctness covers presence exactly like the engine's markers)."""
+    from jamie_spark import temporal
+
+    t = _kg_triples_window(spark, sf_dir).where(
+        F.col("doc_id") % _DIFF_MOD == 0
+    )
+    obs = t.select(
+        "subj",
+        "pred",
+        "obj",
+        ((F.col("doc_id") % 1000) * 3600).cast("long").alias("observed_at"),
+    ).distinct()
+    return temporal.snapshot_diff(
+        obs,
+        ["subj", "pred"],
+        "observed_at",
+        _DIFF_T0,
+        _DIFF_T1,
+        value_cols=("obj",),
+        tiebreak_cols=("obj",),
+    )
 
 
 def _crawl_budget_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_anchor_concepts": _link_anchor_concepts,
         "stream_link_hosts_replay": _stream_link_hosts_replay,
         "crawl_budget_hosts": _crawl_budget_hosts,
+        "crawl_frontier": _crawl_frontier,
+        "kg_snapshot_diff": _kg_snapshot_diff,
         "kg_negative_sample": _kg_negative_sample,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_triple_intervals": _kg_triple_intervals,
@@ -1573,13 +1630,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
         "broadcast_dim_join": _broadcast_dim_join,
-        "tumbling_window": _tumbling_window,
-        "skew_salted_agg": _skew_salted_agg,
         # ---- position-50 cutoff: everything below was green in r04 on code
         # ---- untouched this round (the fixture change is html-only nav
-        # ---- links; no entry below reads fixture html — sessionization /
-        # ---- asof_join read the events/orders parquet), and rotates into
-        # ---- the head next round
+        # ---- links; no entry below reads fixture html — tumbling_window /
+        # ---- skew_salted_agg / sessionization / asof_join read the
+        # ---- events/orders/documents parquet), and rotates into the head
+        # ---- next round
+        "tumbling_window": _tumbling_window,
+        "skew_salted_agg": _skew_salted_agg,
         "sessionization": _sessionization,
         "asof_join": _asof_join,
         "asof_join_fwd": _asof_join_fwd,
@@ -1756,10 +1814,12 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def _kg_obs_ctes() -> str:
+def _kg_obs_ctes(doc_mod: int | None = None) -> str:
     """CTE chain for the versioned-assertion fixture — mirrors
     ``_kg_observations`` (window triples stamped by doc_id mod 1000 hours,
-    DISTINCT)."""
+    DISTINCT); ``doc_mod`` sparsifies to every Nth doc the way
+    ``_kg_snapshot_diff`` does."""
+    flt = f"WHERE doc_id % {doc_mod} = 0" if doc_mod else ""
     return f"""
 dict(surface, tag) AS (VALUES {_kg_dict_values()}),
 words AS (
@@ -1779,7 +1839,7 @@ t AS (
 obs AS (
     SELECT DISTINCT subj, pred, obj,
            CAST((doc_id % 1000) * 3600 AS BIGINT) AS observed_at
-    FROM t
+    FROM t {flt}
 )"""
 
 
@@ -2002,17 +2062,12 @@ SELECT node, CAST(deg AS BIGINT) AS deg FROM (
     )
 
 
-def _pagerank_sql(
-    iters: int = 5,
-    scale: int = 1_000_000_000,
-    damping_num: int = 85,
-    edges_cte: str | None = None,
+def _pagerank_ctes(
+    iters: int = 5, scale: int = 1_000_000_000, damping_num: int = 85
 ) -> str:
-    """kgstats.pagerank_fixed unrolled as chained CTEs: the recurrence is
-    all int64 arithmetic (// division, integer sums), so DuckDB reproduces
-    Spark's ranks exactly — no float summation-order drift to round away.
-    ``edges_cte`` swaps in another graph (must define ``edges(src, dst)``
-    and ``nodes(node)``); default is the word-adjacency graph."""
+    """The unrolled r0..rN CTE chain of kgstats.pagerank_fixed (int64
+    recurrence), composable into larger oracles; requires ``edges(src,
+    dst)`` and ``nodes(node)`` CTEs upstream."""
     base = scale * (100 - damping_num) // 100
     ctes = [
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
@@ -2031,10 +2086,24 @@ def _pagerank_sql(
         JOIN r{i - 1} r ON r.node = ed.src
         GROUP BY ed.dst
     ) m USING (node))""")
+    return ",\n".join(ctes)
+
+
+def _pagerank_sql(
+    iters: int = 5,
+    scale: int = 1_000_000_000,
+    damping_num: int = 85,
+    edges_cte: str | None = None,
+) -> str:
+    """kgstats.pagerank_fixed unrolled as chained CTEs: the recurrence is
+    all int64 arithmetic (// division, integer sums), so DuckDB reproduces
+    Spark's ranks exactly — no float summation-order drift to round away.
+    ``edges_cte`` swaps in another graph (must define ``edges(src, dst)``
+    and ``nodes(node)``); default is the word-adjacency graph."""
     prefix = _EDGES_CTE.strip() if edges_cte is None else edges_cte.strip()
     return (
         f"WITH {prefix},\n"
-        + ",\n".join(ctes)
+        + _pagerank_ctes(iters, scale, damping_num)
         + f"\nSELECT node, rank_fp FROM r{iters}"
     )
 
@@ -3002,6 +3071,53 @@ SELECT lower(regexp_extract(src_url, '{_lg_host_re()}', 1)) AS src_host,
        CAST(COUNT(*) AS BIGINT) AS n_links
 FROM lnorm
 GROUP BY 1, 2
+""",
+        "crawl_frontier": f"""
+WITH {_host_edges_cte(_LSTREAM_SPECS).strip()},
+{_pagerank_ctes(5)},
+top AS (
+    SELECT node, rank_fp FROM r5
+    ORDER BY rank_fp DESC, node LIMIT {_FRONTIER_HOSTS}),
+cand AS (
+    SELECT DISTINCT dst_url AS url FROM lnorm
+    WHERE dst_url NOT IN (SELECT url FROM linkpages)),
+ch AS (
+    SELECT url, lower(regexp_extract(url, '{_lg_host_re()}', 1)) AS host
+    FROM cand),
+g AS (
+    SELECT ch.url, ch.host, top.rank_fp
+    FROM ch JOIN top ON top.node = ch.host),
+s AS (
+    SELECT url, host, rank_fp,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY md5(url), url) AS BIGINT) AS slot
+    FROM g)
+SELECT url, host, rank_fp, slot FROM s WHERE slot <= {_FRONTIER_QUOTA}
+""",
+        "kg_snapshot_diff": f"""
+WITH {_kg_obs_ctes(_DIFF_MOD).strip()},
+s0 AS (
+    SELECT subj, pred, obj FROM (
+        SELECT subj, pred, obj,
+               ROW_NUMBER() OVER (PARTITION BY subj, pred
+                   ORDER BY observed_at DESC, obj DESC) AS rn
+        FROM obs WHERE observed_at <= {_DIFF_T0}) WHERE rn = 1),
+s1 AS (
+    SELECT subj, pred, obj FROM (
+        SELECT subj, pred, obj,
+               ROW_NUMBER() OVER (PARTITION BY subj, pred
+                   ORDER BY observed_at DESC, obj DESC) AS rn
+        FROM obs WHERE observed_at <= {_DIFF_T1}) WHERE rn = 1),
+d AS (
+    SELECT COALESCE(s0.subj, s1.subj) AS subj,
+           COALESCE(s0.pred, s1.pred) AS pred,
+           s0.obj AS old_obj, s1.obj AS new_obj,
+           CASE WHEN s0.subj IS NULL THEN 'added'
+                WHEN s1.subj IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM s0 FULL JOIN s1 ON s0.subj = s1.subj AND s0.pred = s1.pred)
+SELECT subj, pred, old_obj, new_obj, change
+FROM d WHERE old_obj IS DISTINCT FROM new_obj
 """,
         "crawl_budget_hosts": f"""
 WITH lp(url, html) AS (VALUES {_link_pages_values(_LSTREAM_SPECS)}),

@@ -169,6 +169,8 @@ def main() -> None:
         "link_host_rank",
         "link_anchor_concepts",
         "crawl_budget_hosts",
+        "crawl_frontier",
+        "kg_snapshot_diff",
         # stream_link_hosts_replay is a correctness vehicle (replay loop
         # over a /tmp store), untimed for the same reason as
         # stream_dedup_replay below

@@ -197,6 +197,65 @@ def crawl_budget(
     )
 
 
+def crawl_frontier(
+    pages: "DataFrame",
+    top_hosts: int,
+    per_host_quota: int,
+    iters: int = 5,
+    url_col: str = "url",
+) -> "DataFrame":
+    """(url, host, rank_fp, slot) — the crawl scheduler's next-fetch list:
+    outbound link targets NOT yet crawled, gated to the top-K hosts by
+    integer PageRank over the extracted host graph, and quota'd per host
+    along the md5(url) walk (``slot`` = 1-based fetch position inside the
+    host's quota). Host authority decides WHERE to spend the next crawl
+    cycle; the md5 walk decides WHICH of a host's candidates, bias-free
+    and bit-reproducibly — the frontier a 10^12-page crawl re-derives
+    every cycle without a central scheduler.
+
+    Scale shape: candidates = distinct dst urls anti-joined against the
+    crawled urls (both sides shuffle on url, the natural key); the rank
+    table is HOST-cardinality, so top-K is a bounded TakeOrdered and the
+    gate a broadcast semi-join that never shuffles the candidate stream;
+    the quota walk is the shared two-phase prefix sum with unit weights —
+    per-host slot numbers without a single-task host sort (a top host's
+    candidate list IS a hot key at crawl scale).
+    """
+    from . import kgstats, textstats
+
+    links = extract_links(pages, url_col=url_col)
+    hg = host_graph(links)
+    ranks = kgstats.pagerank_fixed(
+        hg.select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        ),
+        iters=iters,
+    )
+    top = (
+        ranks.orderBy(F.col("rank_fp").desc(), F.col("node"))
+        .limit(top_hosts)
+        .withColumnRenamed("node", "host")
+    )
+    cand = (
+        links.select(F.col("dst_url").alias("url"))
+        .distinct()
+        .join(pages.select(F.col(url_col).alias("url")), "url", "left_anti")
+        .withColumn("host", url_host(F.col("url")))
+    )
+    gated = cand.join(F.broadcast(top), "host")
+    d = gated.select(F.col("url").alias("doc_id"), "host", "rank_fp")
+    w = d.select("doc_id", F.lit(1).cast("long").alias("n_tokens"))
+    cum = textstats._md5_walk_cumsum(
+        d, ["host", "rank_fp"], max_cum=per_host_quota, weights=w
+    )
+    return cum.where(F.col("cum_tokens") <= per_host_quota).select(
+        F.col("doc_id").alias("url"),
+        "host",
+        "rank_fp",
+        F.col("cum_tokens").alias("slot"),
+    )
+
+
 #: the engine's pinned tokenizer grammar (jamie_spark.tokenizer._char_class)
 #: as a Java/RE2-common alternation: maximal runs of kanji(+々) / hiragana /
 #: katakana / ASCII alnum+dot, any other char alone. Token-for-token

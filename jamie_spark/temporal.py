@@ -176,6 +176,60 @@ def latest_snapshot(
     )
 
 
+def snapshot_diff(
+    df: "DataFrame",
+    key_cols: list[str],
+    ts_col: str,
+    t0,
+    t1,
+    value_cols: tuple[str, ...],
+    tiebreak_cols: tuple[str, ...] = (),
+) -> "DataFrame":
+    """KG change detection between two as-of times: for every key, compare
+    the belief at ``t0`` with the belief at ``t1`` and emit the keys that
+    differ — ``added`` (no belief at t0), ``removed`` (no belief at t1 —
+    possible when the ledger is compacted/retracted, impossible for a pure
+    append-only ledger), or ``changed`` (both present, any value column
+    differs, null-safe). Unchanged keys are dropped. Returns
+    (key..., old_<v>..., new_<v>..., change).
+
+    Scale shape: two per-key snapshot windows (each one shuffle on the key
+    columns, bounded group size) feeding a key-partitioned full-outer
+    join — the join reuses the snapshots' partitioning, so the diff costs
+    one extra co-partitioned merge, never a global sort. Presence is
+    tracked by explicit marker columns, not value null-ness, so null
+    values diff correctly.
+    """
+    olds = [F.col(v).alias(f"old_{v}") for v in value_cols]
+    news = [F.col(v).alias(f"new_{v}") for v in value_cols]
+    a = latest_snapshot(df, key_cols, ts_col, t0, tiebreak_cols).select(
+        *key_cols, *olds
+    ).withColumn("_in_old", F.lit(True))
+    b = latest_snapshot(df, key_cols, ts_col, t1, tiebreak_cols).select(
+        *key_cols, *news
+    ).withColumn("_in_new", F.lit(True))
+    j = a.join(b, key_cols, "full_outer")
+    differs = F.lit(False)
+    for v in value_cols:
+        differs = differs | ~F.col(f"old_{v}").eqNullSafe(F.col(f"new_{v}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.where(
+            F.col("_in_old").isNull() | F.col("_in_new").isNull() | differs
+        )
+        .select(
+            *key_cols,
+            *[f"old_{v}" for v in value_cols],
+            *[f"new_{v}" for v in value_cols],
+            change.alias("change"),
+        )
+    )
+
+
 def valid_intervals(
     df: "DataFrame",
     key_cols: list[str],

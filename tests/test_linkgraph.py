@@ -209,3 +209,53 @@ def test_crawl_budget_floor_contract_per_host(spark):
     for r in rows:
         assert r["spent"] >= budget  # floor: boundary page kept
         assert r["spent"] < budget + r["maxc"]  # never beyond one page
+
+
+def test_crawl_frontier_semantics(spark):
+    """Frontier = uncrawled dst urls of the top-K ranked hosts, <= quota
+    per host in md5 order; crawled urls are excluded, slots are 1..quota."""
+    from pyspark.sql import Window
+
+    from jamie_spark import kgstats
+
+    pages = fixtures.pages_df(spark, 40, seed=17)
+    K, Q = 2, 5
+    got = linkgraph.crawl_frontier(pages, K, Q)
+    rows = got.collect()
+    assert rows
+
+    links = linkgraph.extract_links(pages)
+    ranks = kgstats.pagerank_fixed(
+        linkgraph.host_graph(links).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+    )
+    top = {
+        r["node"]
+        for r in ranks.orderBy(
+            F.col("rank_fp").desc(), F.col("node")
+        ).limit(K).collect()
+    }
+    crawled = {r["url"] for r in pages.select("url").collect()}
+    for r in rows:
+        assert r["host"] in top
+        assert r["url"] not in crawled
+        assert 1 <= r["slot"] <= Q
+
+    # per-host slots are exactly 1..min(quota, candidates), in md5 order
+    ref = (
+        links.select(F.col("dst_url").alias("url")).distinct()
+        .join(pages.select("url"), "url", "left_anti")
+        .withColumn("host", linkgraph.url_host(F.col("url")))
+        .where(F.col("host").isin(*top))
+        .withColumn(
+            "slot",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(F.md5("url"), "url")
+            ),
+        )
+        .where(F.col("slot") <= Q)
+    )
+    assert {(r["url"], r["host"], r["slot"]) for r in rows} == {
+        (r["url"], r["host"], r["slot"]) for r in ref.collect()
+    }

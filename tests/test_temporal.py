@@ -181,3 +181,54 @@ def test_valid_intervals_chain_and_open_tail(spark):
         ).collect()
     )
     assert rows == [("v1", 10, 30), ("v2", 30, 70), ("v3", 70, None)]
+
+
+def test_snapshot_diff_classification(spark):
+    """added / removed / changed / unchanged on a handmade ledger: key A
+    changes obj between the cutoffs, B appears only after t0 (added), C is
+    unchanged (dropped), and swapping the cutoffs turns B into removed."""
+    obs = spark.createDataFrame(
+        [
+            ("A", "p", "x", 10), ("A", "p", "y", 20),   # changed
+            ("B", "p", "n", 15),                        # added after t0=10
+            ("C", "p", "z", 5), ("C", "p", "z", 18),    # re-asserted, same
+        ],
+        "subj string, pred string, obj string, observed_at long",
+    )
+    d = {
+        (r["subj"], r["change"]): (r["old_obj"], r["new_obj"])
+        for r in temporal.snapshot_diff(
+            obs, ["subj", "pred"], "observed_at", 10, 20,
+            value_cols=("obj",), tiebreak_cols=("obj",),
+        ).collect()
+    }
+    assert d == {
+        ("A", "changed"): ("x", "y"),
+        ("B", "added"): (None, "n"),
+    }
+    rev = {
+        (r["subj"], r["change"]): (r["old_obj"], r["new_obj"])
+        for r in temporal.snapshot_diff(
+            obs, ["subj", "pred"], "observed_at", 20, 10,
+            value_cols=("obj",), tiebreak_cols=("obj",),
+        ).collect()
+    }
+    assert rev == {
+        ("A", "changed"): ("y", "x"),
+        ("B", "removed"): ("n", None),
+    }
+
+
+def test_snapshot_diff_null_values_diff_correctly(spark):
+    """Presence is tracked by marker columns, not value null-ness: a key
+    whose belief moves from NULL to a value is CHANGED, not added."""
+    obs = spark.createDataFrame(
+        [("A", "p", None, 10), ("A", "p", "v", 20)],
+        "subj string, pred string, obj string, observed_at long",
+    )
+    rows = temporal.snapshot_diff(
+        obs, ["subj", "pred"], "observed_at", 10, 20, value_cols=("obj",)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["change"], r["old_obj"], r["new_obj"]) == ("changed", None, "v")
