@@ -923,6 +923,27 @@ def _link_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kgstats.pagerank_fixed(e, iters=5)
 
 
+def _link_host_rank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-count-WEIGHTED host PageRank (kgstats.pagerank_weighted) over
+    the extracted host graph: a host cited 157 times outranks one cited
+    12 times — rank separation the distinct-edge skeleton flattens into
+    ties (compare link_host_rank's uniform 199608740 on the same graph).
+    Oracle: the unrolled weighted int64 recurrence with the identical
+    overflow-safe div/mod decomposition."""
+    from jamie_spark import kgstats, linkgraph
+
+    pages = fixtures.pages_df(spark, _LINK_DOCS, seed=_LINK_SEED)
+    hg = linkgraph.host_graph(linkgraph.extract_links(pages))
+    return kgstats.pagerank_weighted(
+        hg.select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("w"),
+        ),
+        iters=5,
+    )
+
+
 def _host_edges_cte(specs=None) -> str:
     """edges/nodes CTEs over the extracted HOST graph, for _pagerank_sql."""
     from jamie_spark import linkgraph as lg
@@ -1606,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_edges": _link_edges,
         "link_host_graph": _link_host_graph,
         "link_host_rank": _link_host_rank,
+        "link_host_rank_weighted": _link_host_rank_weighted,
         "link_anchor_concepts": _link_anchor_concepts,
         "stream_link_hosts_replay": _stream_link_hosts_replay,
         "crawl_budget_hosts": _crawl_budget_hosts,
@@ -1629,13 +1651,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e4_mod_family": _e4_mod_family,
         "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
-        "broadcast_dim_join": _broadcast_dim_join,
         # ---- position-50 cutoff: everything below was green in r04 on code
         # ---- untouched this round (the fixture change is html-only nav
-        # ---- links; no entry below reads fixture html — tumbling_window /
-        # ---- skew_salted_agg / sessionization / asof_join read the
-        # ---- events/orders/documents parquet), and rotates into the head
-        # ---- next round
+        # ---- links; no entry below reads fixture html — the displaced
+        # ---- broadcast_dim_join / tumbling_window / skew_salted_agg /
+        # ---- sessionization / asof_join read the events/orders/documents
+        # ---- parquet), and rotates into the head next round
+        "broadcast_dim_join": _broadcast_dim_join,
         "tumbling_window": _tumbling_window,
         "skew_salted_agg": _skew_salted_agg,
         "sessionization": _sessionization,
@@ -2082,6 +2104,52 @@ def _pagerank_ctes(
         FROM (SELECT e.src, e.dst, o.out_deg
               FROM edges e
               JOIN (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) o
+              USING (src)) ed
+        JOIN r{i - 1} r ON r.node = ed.src
+        GROUP BY ed.dst
+    ) m USING (node))""")
+    return ",\n".join(ctes)
+
+
+def _host_wedges_cte(specs=None) -> str:
+    """WEIGHTED host-graph CTEs — edges(src, dst, w) with link counts —
+    for the weighted PageRank oracle."""
+    from jamie_spark import linkgraph as lg
+
+    return f"""
+{_link_edges_sql(specs).strip()},
+edges AS (
+    SELECT lower(regexp_extract(src_url, '{lg.HOST_RE}', 1)) AS src,
+           lower(regexp_extract(dst_url, '{lg.HOST_RE}', 1)) AS dst,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lnorm GROUP BY 1, 2
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+
+def _pagerank_weighted_ctes(
+    iters: int = 5, scale: int = 1_000_000_000, damping_num: int = 85
+) -> str:
+    """kgstats.pagerank_weighted unrolled: weighted mass with the SAME
+    overflow-safe div/mod decomposition the engine computes, so every
+    int64 unit matches. Requires ``edges(src, dst, w)`` + ``nodes(node)``
+    upstream."""
+    base = scale * (100 - damping_num) // 100
+    ctes = [
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+    SELECT n.node,
+           CAST({base} + ({damping_num} * COALESCE(m.mass, 0)) // 100 AS BIGINT)
+               AS rank_fp
+    FROM nodes n LEFT JOIN (
+        SELECT ed.dst AS node,
+               SUM((r.rank_fp // ed.out_w) * ed.w
+                   + ((r.rank_fp % ed.out_w) * ed.w) // ed.out_w) AS mass
+        FROM (SELECT e.src, e.dst, e.w, o.out_w
+              FROM edges e
+              JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src) o
               USING (src)) ed
         JOIN r{i - 1} r ON r.node = ed.src
         GROUP BY ed.dst
@@ -3064,6 +3132,11 @@ FROM lnorm
 GROUP BY 1, 2
 """,
         "link_host_rank": _pagerank_sql(5, edges_cte=_host_edges_cte()),
+        "link_host_rank_weighted": f"""
+WITH {_host_wedges_cte().strip()},
+{_pagerank_weighted_ctes(5)}
+SELECT node, rank_fp FROM r5
+""",
         "stream_link_hosts_replay": f"""
 WITH {_link_edges_sql(_LSTREAM_SPECS).strip()}
 SELECT lower(regexp_extract(src_url, '{_lg_host_re()}', 1)) AS src_host,

@@ -167,6 +167,7 @@ def main() -> None:
         "link_edges",
         "link_host_graph",
         "link_host_rank",
+        "link_host_rank_weighted",
         "link_anchor_concepts",
         "crawl_budget_hosts",
         "crawl_frontier",

@@ -429,6 +429,80 @@ def pagerank_fixed(
     return ranks
 
 
+def pagerank_weighted(
+    edges: "DataFrame",
+    iters: int = 5,
+    damping_num: int = 85,
+    scale: int = PR_SCALE,
+    checkpoint_every: int = 3,
+    weight_col: str = "w",
+) -> "DataFrame":
+    """Fixed-point integer PageRank over a WEIGHTED multigraph
+    (src, dst, w): each vertex pushes ``rank * w(e) DIV w_out(src)`` per
+    edge, so a host that links somewhere 157 times pushes 157x the mass
+    of a single link — the authority signal host graphs actually need
+    (:func:`pagerank_fixed` sees only the distinct-edge skeleton, which
+    flattens real link-count asymmetry into rank ties). Parallel edge
+    rows pre-aggregate into one weighted edge.
+
+    Same engine-exact int64 contract as :func:`pagerank_fixed`; the
+    per-edge floor is taken via the exact identity
+    ``(rank * w) div W == (rank div W) * w + ((rank mod W) * w) div W``
+    so intermediate products stay below ``W * max_w`` instead of
+    ``rank * max_w`` (safe while a vertex's total out-weight squared fits
+    int64, i.e. out-weight < ~3e9 — pre-bucket heavier weights). Loop
+    shape is identical: one join + one aggregation per iteration,
+    localCheckpoint cadence to truncate lineage.
+    """
+    _check_cadence(checkpoint_every)
+    e = edges.groupBy("src", "dst").agg(
+        F.sum(weight_col).cast("long").alias("w")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e_deg = e.join(out_w, "src").persist()
+    base = scale * (100 - damping_num) // 100
+    ranks = nodes.select(
+        "node", F.lit(int(scale)).cast("long").alias("rank_fp")
+    )
+    for it in range(iters):
+        contribs = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                (
+                    F.expr("rank_fp div out_w") * F.col("w")
+                    + F.expr("((rank_fp % out_w) * w) div out_w")
+                ).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(int(base))
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_mass, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_fp"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
+    e_deg.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
 def bfs_distances(
     edges: "DataFrame",
     source: str,

@@ -469,3 +469,79 @@ def test_negative_sample_semantics(spark):
     # n_entities passthrough gives the same sample (no eager count)
     pre = kgstats.negative_sample(t, k=3, n_entities=6).collect()
     assert sorted(map(key, got)) == sorted(map(key, pre))
+
+
+def test_pagerank_weighted_unit_weights_equal_fixed(spark):
+    """With every weight = 1 on a distinct-edge graph the weighted
+    recurrence degenerates to pagerank_fixed exactly — bit-identical."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    fixed = {
+        r["node"]: r["rank_fp"]
+        for r in kgstats.pagerank_fixed(edges, iters=4).collect()
+    }
+    weighted = {
+        r["node"]: r["rank_fp"]
+        for r in kgstats.pagerank_weighted(
+            edges.withColumn("w", F.lit(1)), iters=4
+        ).collect()
+    }
+    assert weighted == fixed
+
+
+def test_pagerank_weighted_mass_follows_weight(spark):
+    """The heavier out-edge carries more mass: with a->b weighted 9 and
+    a->c weighted 1, b outranks c (same topology, same everything else)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in kgstats.pagerank_weighted(edges, iters=5).collect()
+    }
+    assert ranks["b"] > ranks["c"]
+
+
+def test_pagerank_weighted_parallel_edges_preaggregate(spark):
+    """Duplicate (src, dst) rows sum their weights — three unit rows
+    equal one weight-3 row, bit-identical."""
+    dup = spark.createDataFrame(
+        [("a", "b", 1)] * 3 + [("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    merged = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    a = {r["node"]: r["rank_fp"]
+         for r in kgstats.pagerank_weighted(dup, iters=4).collect()}
+    b = {r["node"]: r["rank_fp"]
+         for r in kgstats.pagerank_weighted(merged, iters=4).collect()}
+    assert a == b
+
+
+def test_pagerank_weighted_hand_iteration(spark):
+    """The weighted int64 recurrence matches a hand iteration using the
+    same div/mod floor decomposition."""
+    rows = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5)]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    scale, damp, iters = 1_000_000_000, 85, 4
+    base = scale * (100 - damp) // 100
+    nodes = {"a", "b", "c"}
+    out_w = {}
+    for s, _, w in rows:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        mass = {n: 0 for n in nodes}
+        for s, d, w in rows:
+            W = out_w[s]
+            r = rank[s]
+            mass[d] += (r // W) * w + ((r % W) * w) // W
+        rank = {n: base + (damp * mass[n]) // 100 for n in nodes}
+    got = {r["node"]: r["rank_fp"]
+           for r in kgstats.pagerank_weighted(edges, iters=iters).collect()}
+    assert got == rank
