@@ -3146,8 +3146,8 @@ FROM lnorm
 GROUP BY 1, 2
 """,
         "crawl_frontier": f"""
-WITH {_host_edges_cte(_LSTREAM_SPECS).strip()},
-{_pagerank_ctes(5)},
+WITH {_host_wedges_cte(_LSTREAM_SPECS).strip()},
+{_pagerank_weighted_ctes(5)},
 top AS (
     SELECT node, rank_fp FROM r5
     ORDER BY rank_fp DESC, node LIMIT {_FRONTIER_HOSTS}),

@@ -217,7 +217,16 @@ def connected_components(
         )
         g = GraphFrame(vertices, edges)
         cc = g.connectedComponents()
-        return cc.select(F.col("id").alias("vertex"), F.col("component").cast("string"))
+        # GraphFrames emits arbitrary numeric component ids; every other
+        # branch (and incremental_components' min-merge argument, which
+        # contracts onto labels AS vertices) relies on the documented
+        # invariant component == lexicographic-min member vertex, so
+        # normalize before returning — one component-cardinality agg+join
+        mins = cc.groupBy("component").agg(F.min("id").alias("_minv"))
+        return cc.join(mins, "component").select(
+            F.col("id").alias("vertex"),
+            F.col("_minv").cast("string").alias("component"),
+        )
 
     if algorithm == "star":
         return _star_components(

@@ -596,6 +596,15 @@ def negative_sample(
     from pyspark.sql import Window
 
     t = triples.select("subj", "pred", "obj").distinct()
+    if k <= 0:
+        # k=0 means "no negatives", not sequence(0, -1) — Spark's sequence
+        # auto-descends and would emit sample_idx in {0, -1} per positive
+        return t.where(F.lit(False)).select(
+            "subj",
+            "pred",
+            F.col("obj").alias("neg_obj"),
+            F.lit(0).cast("long").alias("sample_idx"),
+        )
     # corruption vocabulary = ALL entities (heads and tails, the TransE
     # convention): a tails-only vocab can be so saturated by positives on
     # a dense dictionary-derived graph that every corruption collides and

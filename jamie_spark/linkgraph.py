@@ -40,11 +40,14 @@ if TYPE_CHECKING:  # pragma: no cover
 
 #: one <a> element with a double-quoted href and a text-only anchor body —
 #: the crawl-HTML subset the fixture generator emits. Raw ``&`` separators
-#: in hrefs (ubiquitous on the real web, strictly-invalid HTML) are read
-#: as-is. Single source for the Spark scan and the DuckDB oracle.
+#: and raw ``>`` in href values (both ubiquitous on the real web,
+#: strictly-invalid HTML) are read as-is: HREF_RE/ANCHOR_RE re-match the
+#: FULL tag structure rather than grabbing the first quote/'>' run, so an
+#: unencoded '>' inside the href can never bleed into the anchor capture.
+#: Single source for the Spark scan and the DuckDB oracle.
 A_TAG_RE = '<a href="[^"]*"[^>]*>[^<]*</a>'
-HREF_RE = 'href="([^"]*)"'
-ANCHOR_RE = ">([^<]*)</a>"
+HREF_RE = '<a href="([^"]*)"'
+ANCHOR_RE = '<a href="[^"]*"[^>]*>([^<]*)</a>'
 
 #: tracking query params dropped by rule 4
 TRACKING_PARAM_RE = "^(utm_[^=]*|ref|fbclid|gclid)="
@@ -206,7 +209,8 @@ def crawl_frontier(
 ) -> "DataFrame":
     """(url, host, rank_fp, slot) — the crawl scheduler's next-fetch list:
     outbound link targets NOT yet crawled, gated to the top-K hosts by
-    integer PageRank over the extracted host graph, and quota'd per host
+    WEIGHTED integer PageRank over the extracted host multigraph
+    (link-count mass — see :func:`kgstats.pagerank_weighted`), and quota'd per host
     along the md5(url) walk (``slot`` = 1-based fetch position inside the
     host's quota). Host authority decides WHERE to spend the next crawl
     cycle; the md5 walk decides WHICH of a host's candidates, bias-free
@@ -225,9 +229,15 @@ def crawl_frontier(
 
     links = extract_links(pages, url_col=url_col)
     hg = host_graph(links)
-    ranks = kgstats.pagerank_fixed(
+    # WEIGHTED rank: the distinct-edge skeleton ties hosts that differ
+    # 10x in citation count (measured on the extracted fixture graph —
+    # uniform 199.6M across hosts), which would degenerate the gate to
+    # alphabetical selection; link-count mass is the authority signal
+    ranks = kgstats.pagerank_weighted(
         hg.select(
-            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("w"),
         ),
         iters=iters,
     )

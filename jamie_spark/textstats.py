@@ -1206,8 +1206,14 @@ def _md5_walk_cumsum(
         .orderBy("_k", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ungrouped, offsets is <=256 rows — always broadcast; grouped, it is
+    # 256 x |groups| (unbounded at web host/source cardinality, past the
+    # 8 GB broadcast limit at ~1e8 hosts), so let AQE pick the strategy —
+    # it still broadcasts small group tables at runtime
+    if not gpart:
+        offsets = F.broadcast(offsets)
     return (
-        d.join(F.broadcast(offsets), gpart + ["_b"])
+        d.join(offsets, gpart + ["_b"])
         .withColumn(
             "cum_tokens", F.sum("n_tokens").over(w_in) + F.col("_off")
         )

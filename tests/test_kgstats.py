@@ -471,6 +471,18 @@ def test_negative_sample_semantics(spark):
     assert sorted(map(key, got)) == sorted(map(key, pre))
 
 
+def test_negative_sample_k_zero_is_empty(spark):
+    """k=0 disables negatives entirely — Spark's sequence(0, -1) would
+    auto-descend and emit phantom sample_idx in {0, -1} per positive."""
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s2", "p", "o2")],
+        "subj string, pred string, obj string",
+    )
+    out = kgstats.negative_sample(t, k=0)
+    assert out.columns == ["subj", "pred", "neg_obj", "sample_idx"]
+    assert out.count() == 0
+
+
 def test_pagerank_weighted_unit_weights_equal_fixed(spark):
     """With every weight = 1 on a distinct-edge graph the weighted
     recurrence degenerates to pagerank_fixed exactly — bit-identical."""

@@ -57,6 +57,22 @@ def test_extract_links_drops_non_web_targets(spark):
     ]
 
 
+def test_extract_links_href_with_raw_gt(spark):
+    """An unencoded '>' inside an href value (real crawl HTML) must not
+    bleed into the anchor capture: href and anchor re-match the full tag
+    structure, so the anchor starts at the tag-closing '>', not the first
+    '>' in the string."""
+    html = (
+        '<p><a href="https://x.test/?q=a>b">text</a>'
+        '<a href="https://y.test/ok">a > b</a></p>'
+    )
+    rows = linkgraph.extract_links(_one_page(spark, html)).collect()
+    assert sorted((r["dst_url"], r["anchor"]) for r in rows) == [
+        ("https://x.test/?q=a>b", "text"),
+        ("https://y.test/ok", "a > b"),
+    ]
+
+
 def test_extract_links_fixture_count_and_host_graph(spark):
     """Extraction finds exactly the anchors the generator wrote (3 base nav
     links + 1 topic link on disease-mentioning pages); the host rollup
@@ -225,9 +241,13 @@ def test_crawl_frontier_semantics(spark):
     assert rows
 
     links = linkgraph.extract_links(pages)
-    ranks = kgstats.pagerank_fixed(
+    # the gate ranks by WEIGHTED PageRank (link-count mass): unweighted
+    # ranks tie on this graph shape and would degrade to name order
+    ranks = kgstats.pagerank_weighted(
         linkgraph.host_graph(links).select(
-            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+            F.col("n_links").alias("w"),
         )
     )
     top = {
