@@ -903,6 +903,21 @@ def _kg_triple_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_triple_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-fusion provenance (kgstats.triple_provenance): per
+    candidate triple, mention count, distinct-source support, and the
+    observation span — the confidence/lineage record the materialized
+    graph carries. Runs over the UN-deduplicated window-triple mention
+    stream (same generator as kg_triples_window) stamped with the shared
+    (doc_id mod 1000)-hours crawl clock."""
+    from jamie_spark import kgstats
+
+    t = _kg_triples_window(spark, sf_dir).withColumn(
+        "observed_at", ((F.col("doc_id") % 1000) * 3600).cast("long")
+    )
+    return kgstats.triple_provenance(t)
+
+
 #: negatives per positive — single source for the entry and the oracle
 _NEG_K = 2
 
@@ -1636,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_sample": _kg_negative_sample,
         "kg_snapshot_asof": _kg_snapshot_asof,
         "kg_triple_intervals": _kg_triple_intervals,
+        "kg_triple_provenance": _kg_triple_provenance,
         "token_budget_sample": _token_budget_sample,
         "kg_pipeline_triples": _kg_pipeline_triples,
         "kg_pipeline_triples_numpy": _kg_pipeline_triples_numpy,
@@ -1649,9 +1665,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_eval_prf": _e2_eval_prf,
         "e3_rel_strict": _e3_rel_strict,
         "e4_mod_family": _e4_mod_family,
-        "q1_pricing": _q1_pricing,
         "r2_pair_counts": _r2_pair_counts,
         # ---- position-50 cutoff: everything below was green in r04 on code
+        # ---- untouched this round. q1_pricing (lineitem parquet only,
+        # ---- green r03+r04, zero round-5 diff) moved below the cutoff to
+        # ---- make room for kg_triple_provenance above.
+        "q1_pricing": _q1_pricing,
         # ---- untouched this round (the fixture change is html-only nav
         # ---- links; no entry below reads fixture html — the displaced
         # ---- broadcast_dim_join / tumbling_window / skew_salted_agg /
@@ -3240,6 +3259,16 @@ SELECT subj, pred, obj, observed_at,
        lead(observed_at) OVER (PARTITION BY subj, pred
                                ORDER BY observed_at, obj) AS valid_to
 FROM obs
+""",
+        "kg_triple_provenance": f"""
+WITH {_kg_obs_ctes().strip()}
+SELECT subj, pred, obj,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_sources,
+       MIN(CAST((doc_id % 1000) * 3600 AS BIGINT)) AS first_seen,
+       MAX(CAST((doc_id % 1000) * 3600 AS BIGINT)) AS last_seen
+FROM t
+GROUP BY subj, pred, obj
 """,
         "kg_negative_sample": f"""
 WITH dict(surface, tag) AS (VALUES {_kg_dict_values()}),

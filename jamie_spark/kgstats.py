@@ -565,6 +565,35 @@ def bfs_distances(
     return settled
 
 
+def triple_provenance(
+    triples: "DataFrame",
+    source_col: str = "doc_id",
+    time_col: str = "observed_at",
+) -> "DataFrame":
+    """(subj, pred, obj, n_mentions, n_sources, first_seen, last_seen) —
+    knowledge-fusion provenance rollup: how often, from how many distinct
+    sources, and over what observation span each candidate triple was
+    asserted. This is the confidence signal KG construction ranks and
+    thresholds on (a triple seen once on one page is noise; seen across
+    many independent pages over months it is knowledge) and the per-triple
+    lineage record the north-star contract asks the materialized graph to
+    carry.
+
+    Scale shape: ONE hash aggregation keyed by the triple — map-side
+    combine does most of the work (mention streams collapse to triple
+    cardinality before the shuffle); COUNT(DISTINCT source) rewrites to a
+    two-level partial aggregate under whole-stage codegen, never a
+    per-triple set in Python. Exact integer outputs (counts + epoch
+    seconds), so the rollup value-oracles like the samplers.
+    """
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.min(time_col).cast("long").alias("first_seen"),
+        F.max(time_col).cast("long").alias("last_seen"),
+    )
+
+
 def negative_sample(
     triples: "DataFrame", k: int = 2, n_entities: int | None = None
 ) -> "DataFrame":

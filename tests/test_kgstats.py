@@ -471,6 +471,31 @@ def test_negative_sample_semantics(spark):
     assert sorted(map(key, got)) == sorted(map(key, pre))
 
 
+def test_triple_provenance_rollup(spark):
+    """Mention count, distinct-source support, and observation span per
+    triple; duplicate mentions from one source count mentions but not
+    sources."""
+    t = spark.createDataFrame(
+        [
+            ("s1", "p", "o1", 1, 100),
+            ("s1", "p", "o1", 1, 100),   # same page mentions it twice
+            ("s1", "p", "o1", 2, 500),   # independent re-assertion later
+            ("s2", "p", "o2", 3, 50),
+        ],
+        "subj string, pred string, obj string, doc_id long, observed_at long",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["n_mentions"], r["n_sources"], r["first_seen"], r["last_seen"]
+        )
+        for r in kgstats.triple_provenance(t).collect()
+    }
+    assert got == {
+        ("s1", "p", "o1"): (3, 2, 100, 500),
+        ("s2", "p", "o2"): (1, 1, 50, 50),
+    }
+
+
 def test_negative_sample_k_zero_is_empty(spark):
     """k=0 disables negatives entirely — Spark's sequence(0, -1) would
     auto-descend and emit phantom sample_idx in {0, -1} per positive."""
