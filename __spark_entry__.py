@@ -1549,6 +1549,10 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_B0_DOCS, _STREAM_B0_SEED = 40, 77
 _STREAM_F1_DOCS, _STREAM_F1_SEED = 20, 78
 _STREAM_M1_DOCS = 20
+#: batch-1 RE-CRAWLS: the first N batch-0 pages again, SAME urls — they
+#: carry the same md5(url) doc_id as their store rows and must drop via
+#: the history path (the same-id exemption fixed in round 5)
+_STREAM_RC_DOCS = 6
 _STREAM_F1_PREFIX = "https://f1.test/"
 _STREAM_M1_PREFIX = "https://m1.test/"
 
@@ -1556,7 +1560,9 @@ _STREAM_M1_PREFIX = "https://m1.test/"
 def _stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming ingest loop's EXACT batch-side code path
     (streaming.process_kg_dedup_batch), value-oracled: replay a fixed
-    2-batch crawl — batch 1 half mirrors of batch 0 — through
+    2-batch crawl — batch 1 holds fresh pages, mirrors of batch 0 under
+    other urls, AND url-identical re-crawls of batch 0 (same doc_id as
+    their store rows — the same-id history-dedup path) — through
     dedup-against-store -> extract -> commit-signatures, and return the
     surviving triples of both batches. Deterministic given (store, batch)
     and replay-idempotent (batch-keyed overwrites, strictly-prior store
@@ -1577,9 +1583,13 @@ def _stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors = fixtures.pages_df(
         spark, _STREAM_M1_DOCS, seed=_STREAM_B0_SEED
     ).withColumn("url", F.concat(F.lit(_STREAM_M1_PREFIX), F.col("url")))
+    # url-identical re-crawls of the first batch-0 pages (per-doc seeded
+    # generator => byte-identical pages): same doc_id as their store rows
+    recrawls = fixtures.pages_df(spark, _STREAM_RC_DOCS, seed=_STREAM_B0_SEED)
     streaming.process_kg_dedup_batch(b0, 0, concepts, out, store)
     streaming.process_kg_dedup_batch(
-        fresh.unionByName(mirrors), 1, concepts, out, store
+        fresh.unionByName(mirrors).unionByName(recrawls), 1, concepts, out,
+        store,
     )
     return streaming.read_stream_output(spark, out).select(
         "url", "sent_id", "subj_surface", "pred", "obj_surface",
@@ -2567,10 +2577,11 @@ s_bands AS (
 ),
 n_bands AS ({band_rows('n_sig')}),
 cand AS (
+    -- same-id pairs kept (re-crawl semantics); vacuous under the even/odd
+    -- split here, mirrored for twin fidelity
     SELECT DISTINCT nb.doc_id AS new_doc_id, sb.doc_id AS stored_doc_id
     FROM n_bands nb JOIN s_bands sb
       ON nb.band_id = sb.band_id AND nb.band_key = sb.band_key
-    WHERE nb.doc_id <> sb.doc_id
 )
 SELECT c.new_doc_id, c.stored_doc_id,
        ROUND(({agree}) / {K}.0, 4) AS est_jaccard
@@ -2613,6 +2624,10 @@ def _stream_replay_sql() -> str:
         crawl.append((1, _STREAM_F1_PREFIX + p["url"], p["text"], p["lang"]))
     for p in m1:
         crawl.append((1, _STREAM_M1_PREFIX + p["url"], p["text"], p["lang"]))
+    rc, _, _, _ = fixtures.gen_corpus(_STREAM_RC_DOCS, _STREAM_B0_SEED)
+    for p in rc:
+        # RE-CRAWLS: unprefixed urls — same doc_id as their batch-0 rows
+        crawl.append((1, p["url"], p["text"], p["lang"]))
     vals = ", ".join(
         f"({b}, {_sql_str(u)}, {_sql_str(t)}, '{lg}')"
         for b, u, t, lg in crawl
@@ -2651,7 +2666,9 @@ csh AS (
 sig AS (
     SELECT doc_id, {mh_cols} FROM csh GROUP BY doc_id
     UNION ALL
-    SELECT doc_id, {fb_cols} FROM rp WHERE length(text) < {n}
+    -- DISTINCT inner: a re-crawled short doc has two identical rp rows
+    SELECT doc_id, {fb_cols}
+    FROM (SELECT DISTINCT doc_id, text FROM rp WHERE length(text) < {n})
 ),
 bsig AS (SELECT r.batch, s.* FROM sig s JOIN rp r USING (doc_id)),
 b0s AS (SELECT * FROM bsig WHERE batch = 0),
@@ -2678,7 +2695,10 @@ b0_surv AS (
     SELECT doc_id FROM b0s
     WHERE doc_id NOT IN (SELECT doc_id FROM b0_drop)
 ),
-st AS (SELECT s.* FROM bsig s JOIN b0_surv USING (doc_id)),
+-- store rows come from sig (one row per doc_id), NOT bsig: a re-crawled
+-- doc_id has TWO bsig rows (batch 0 + 1) and would double its band rows,
+-- perturbing the bucket cap vs the engine's one-row-per-doc parquet store
+st AS (SELECT s.* FROM sig s JOIN b0_surv USING (doc_id)),
 st_bands AS (
     SELECT doc_id, band_id, band_key FROM (
         SELECT doc_id, band_id, band_key,
@@ -2690,10 +2710,11 @@ st_bands AS (
 b1s AS (SELECT * FROM bsig WHERE batch = 1),
 b1_bands AS ({band_rows('b1s')}),
 h_drop AS (
+    -- same-id pairs kept: a batch-1 doc_id already in the store is a
+    -- RE-CRAWL and must dedup against its own history row
     SELECT DISTINCT c.new_id AS doc_id FROM (
         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS stored_id
         FROM b1_bands a JOIN st_bands b USING (band_id, band_key)
-        WHERE a.doc_id <> b.doc_id
     ) c
     JOIN b1s nn ON nn.doc_id = c.new_id
     JOIN st ss ON ss.doc_id = c.stored_id
@@ -2727,8 +2748,10 @@ surv AS (
 pages AS MATERIALIZED (
     -- MATERIALIZED: the pipeline CTE chain references its inputs many
     -- times; without the hint DuckDB re-inlines this whole dedup prelude
-    -- at every reference (measured 20s for `rels` alone vs 2s hinted)
-    SELECT r.url, r.text, r.lang FROM rp r JOIN surv USING (doc_id)
+    -- at every reference (measured 20s for `rels` alone vs 2s hinted).
+    -- DISTINCT: a surviving batch-0 doc_id re-crawled (and dropped) in
+    -- batch 1 joins TWO identical rp rows; the engine emits its page once
+    SELECT DISTINCT r.url, r.text, r.lang FROM rp r JOIN surv USING (doc_id)
 )""".strip()
     return _kg_pipeline_oracle_sql(pages_cte=pages_cte)
 
@@ -3664,16 +3687,24 @@ WITH p AS (
                  || '-5678 end'
             ELSE ''
         END AS text
-    FROM documents)
+    FROM documents),
+staged AS (
+    -- counts follow the scrub precedence: each class is counted on the
+    -- text with higher-precedence classes already replaced
+    SELECT doc_id, text,
+           regexp_replace(text, '{textstats.PII_EMAIL}', '<EMAIL>', 'g')
+               AS after_email
+    FROM p),
+staged2 AS (
+    SELECT *, regexp_replace(after_email, '{textstats.PII_IPV4}', '<IP>', 'g')
+               AS after_ip
+    FROM staged)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{textstats.PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_IPV4}')) AS BIGINT) AS n_ips,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_PHONE}')) AS BIGINT) AS n_phones,
-       regexp_replace(regexp_replace(regexp_replace(text,
-           '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),
-           '{textstats.PII_IPV4}', '<IP>', 'g'),
-           '{textstats.PII_PHONE}', '<PHONE>', 'g') AS scrubbed
-FROM p
+       CAST(len(regexp_extract_all(after_email, '{textstats.PII_IPV4}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(after_ip, '{textstats.PII_PHONE}')) AS BIGINT) AS n_phones,
+       regexp_replace(after_ip, '{textstats.PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM staged2
 """,
         "range_count_1h": """
 WITH e AS (SELECT DISTINCT user_id, ts FROM events)

@@ -155,24 +155,15 @@ def _prior_signatures(
     own committed signatures (that would drop every page of the replay and
     break idempotence). Returns None when no prior batch exists.
 
-    Listing goes through the Hadoop FileSystem API (the store lives
-    wherever Spark can write — hdfs://, s3a://, file://), NOT driver-local
-    glob: a local glob on a remote store would silently match nothing and
-    disable dedup without a whisper."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(
-        os.path.join(store_dir, "batch=*")
-    )
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    statuses = fs.globStatus(hpath)
-    if statuses is None:
-        return None
-    dirs = []
-    for st in statuses:
-        p = st.getPath().toString()
-        b = p.rsplit("=", 1)[1]
-        if b.isdigit() and int(b) < batch_id:
-            dirs.append(p)
+    Listing goes through the Hadoop FileSystem API via :func:`_store_parts`
+    (the store lives wherever Spark can write — hdfs://, s3a://, file://),
+    NOT driver-local glob: a local glob on a remote store would silently
+    match nothing and disable dedup without a whisper."""
+    dirs = [
+        p
+        for b, p in _store_parts(spark, store_dir, "batch=")
+        if b < batch_id
+    ]
     if not dirs:
         return None
     return (
@@ -316,6 +307,28 @@ def _store_parts(
     return out
 
 
+def _committed_bases(
+    spark: "SparkSession", store_dir: str
+) -> list[tuple[int, str]]:
+    """Base rollup partitions whose job COMMITTED — presence of the
+    ``_SUCCESS`` marker Spark's FileOutputCommitter writes at job commit.
+    A crash mid-way through a base write leaves a partial ``base={N}`` dir;
+    unlike delta partitions (batch-keyed overwrites that foreachBatch
+    replays and rewrites), a partial base would otherwise be trusted
+    forever — the no-op guard in :func:`compact_link_store` would skip the
+    re-fold and :func:`host_graph_totals` would undercount permanently.
+    (Assumes ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` is left
+    at its default ``true``.)"""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    out = []
+    for b, p in _store_parts(spark, store_dir, "base="):
+        hp = jvm.org.apache.hadoop.fs.Path(os.path.join(p, "_SUCCESS"))
+        if hp.getFileSystem(conf).exists(hp):
+            out.append((b, p))
+    return out
+
+
 def process_link_batch(
     batch_df: "DataFrame", batch_id: int, store_dir: str
 ) -> None:
@@ -345,8 +358,11 @@ def process_link_batch(
 def host_graph_totals(spark: "SparkSession", store_dir: str) -> "DataFrame":
     """Current (src_host, dst_host, n_links) host graph: the newest base
     rollup plus the delta partitions AFTER it, summed on read — one hash
-    aggregation over host-pair partials, never raw edges."""
-    bases = _store_parts(spark, store_dir, "base=")
+    aggregation over host-pair partials, never raw edges. Only COMMITTED
+    bases count (``_SUCCESS`` marker) — a partial base from a mid-write
+    crash is ignored and its consumed deltas, still present because
+    deletion happens only after commit, carry the totals."""
+    bases = _committed_bases(spark, store_dir)
     k = max(b for b, _ in bases) if bases else None
     paths = [
         p for b, p in _store_parts(spark, store_dir, "batch=")
@@ -374,8 +390,10 @@ def compact_link_store(
     equal-or-newer base exists (re-compacting a fold the base already
     covers would double-count). Consumed partitions are deleted only AFTER
     the new base commits; a crash in between leaves them present but
-    ignored by the reader — totals stay consistent."""
-    bases = _store_parts(spark, store_dir, "base=")
+    ignored by the reader — totals stay consistent. A PARTIAL base (no
+    ``_SUCCESS`` — crash mid-write) is treated as absent: the no-op guard
+    must not trust it, and the re-fold's overwrite replaces it."""
+    bases = _committed_bases(spark, store_dir)
     k_old = max(b for b, _ in bases) if bases else None
     if k_old is not None and k_old >= upto_batch:
         return
@@ -444,8 +462,9 @@ def stream_sessions(
 
     Finalization follows the watermark, exactly like Spark's built-in
     ``session_window``: a session is EMITTED only once
-    ``last_event + gap <= watermark`` — i.e. once no still-admissible late
-    event could extend or merge it. (Emitting on the in-batch gap alone is
+    ``last_event + gap < watermark`` — strict, because an event AT the
+    watermark is still admissible and merges under the inclusive gap rule
+    — i.e. once no still-admissible late event could extend or merge it. (Emitting on the in-batch gap alone is
     wrong: an out-of-order event inside the watermark can belong to a
     session between two already-seen ones.) State per user = the PENDING
     sessions (those the watermark hasn't sealed), held as parallel arrays;
@@ -470,10 +489,16 @@ def stream_sessions(
     gap_us = gap_sec * 1_000_000
 
     def _split(sessions, wm_ms):
-        """-> (sealed, pending) by the watermark rule last+gap <= wm."""
+        """-> (sealed, pending) by the watermark rule last+gap < wm.
+
+        STRICT: an event at ts == watermark is still admissible, and the
+        inclusive merge rule (new session only when s - last > gap) would
+        merge it when ts == last + gap — so a session with
+        last + gap == wm must stay pending or that boundary event would
+        split one session into two."""
         wm_us = wm_ms * 1000
-        sealed = [s for s in sessions if s[1] + gap_us <= wm_us]
-        pending = [s for s in sessions if s[1] + gap_us > wm_us]
+        sealed = [s for s in sessions if s[1] + gap_us < wm_us]
+        pending = [s for s in sessions if s[1] + gap_us >= wm_us]
         return sealed, pending
 
     def _frame(user_id, sessions):
@@ -499,7 +524,8 @@ def stream_sessions(
                     [n for _, _, n in pending],
                 )
             )
-            # strictly above the current watermark by construction of _split
+            # > current watermark: pending has last + gap >= wm (us), and
+            # the ms floor + 1 lands strictly above wm in ms
             state.setTimeoutTimestamp(
                 (min(e for _, e, _ in pending) + gap_us) // 1000 + 1
             )

@@ -50,11 +50,15 @@ def asof_join(
     (ts, side) with the right side ordered FIRST at equal timestamps (that is
     what makes the equality match inclusive) — descending ts for the forward
     direction, which turns "earliest following" into "last seen" under the
-    same window — then carry the last non-null right payload forward with an
-    unbounded-preceding window. Left rows with no admissible right row keep
-    nulls. If the right side can hold several rows at the same (key, ts),
-    deduplicate it first — which row "wins" a tie is otherwise
-    engine-dependent in every asof implementation.
+    same window — then carry the last right ROW forward with an
+    unbounded-preceding window. The payload travels as ONE struct, not
+    per-column: per-column ``last(ignorenulls)`` would skip a legitimately
+    NULL value (attaching a stale older row's value) and could stitch
+    different output columns from different right rows — asof semantics
+    attach exactly one right row or none. Left rows with no admissible
+    right row keep nulls. If the right side can hold several rows at the
+    same (key, ts), deduplicate it first — which row "wins" a tie is
+    otherwise engine-dependent in every asof implementation.
 
     Cost: exactly one shuffle (the window partitioning) over left+right —
     compare a sort-merge theta-join, which Spark cannot express as anything
@@ -62,15 +66,19 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    from pyspark.sql.types import StructField, StructType
+
+    rstruct = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         F.col(on), F.col(ts), F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(rstruct).alias("_r"),
         *[F.col(c) for c in left.columns if c not in (on, ts)],
     )
     r_tag = right.select(
         F.col(on), F.col(ts), F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, ts)],
     )
@@ -80,15 +88,14 @@ def asof_join(
         .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the whole right row travels as one struct: a right row with NULL
+    # fields is still a non-null struct, so it is never skipped over
     filled = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_rm")
     )
-    return filled.where(F.col("_side") == 1).drop(
-        "_side", *[f"_r_{c}" for c in value_cols]
+    return filled.where(F.col("_side") == 1).select(
+        *[c for c in filled.columns if c not in ("_side", "_r", "_rm")],
+        *[F.col(f"_rm.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
 
 

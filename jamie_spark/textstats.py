@@ -140,32 +140,36 @@ PII_PHONE = r"\b0\d{1,4}-\d{1,4}-\d{3,4}\b"
 def pii_scrub(docs: "DataFrame") -> "DataFrame":
     """(doc_id, n_emails, n_ips, n_phones, scrubbed) — PII detection +
     redaction, the compliance pass a web-corpus pipeline runs before
-    training: emails / IPv4s / dashed phone numbers counted on the raw text
-    and replaced by typed placeholder tokens. Order matters and is part of
-    the contract: emails first (an address like u@10.0.0.7 must scrub as
-    ONE email, not leave a dangling '<EMAIL>'-adjacent IP), then IPs, then
-    phones. All-JVM regexp work (counts via regexp_extract_all, rewrite via
+    training: emails / IPv4s / dashed phone numbers replaced by typed
+    placeholder tokens. Precedence is part of the contract — emails first,
+    then IPs, then phones — and the COUNTS follow the same staging: each
+    count is taken on the text with the higher-precedence classes already
+    scrubbed (n_ips on the email-scrubbed text, n_phones after IPs too),
+    so counts always reconcile with the placeholders in ``scrubbed``
+    (e.g. '012-345-6789@x.com' is ONE email, zero phones — the phone
+    pattern's raw-text match is consumed by the email replacement).
+    All-JVM regexp work (counts via regexp_extract_all, rewrite via
     chained regexp_replace) — embarrassingly parallel, no shuffle, scales
     as a pure map stage."""
     t = F.col("text")
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(p), F.lit(0)))
-        .cast("long")
-        .alias(name)
-        for name, p in (
-            ("n_emails", PII_EMAIL),
-            ("n_ips", PII_IPV4),
-            ("n_phones", PII_PHONE),
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+
+    def _n(src, pat, name):
+        return (
+            F.size(F.regexp_extract_all(src, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(name)
         )
-    ]
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
-            PII_IPV4, "<IP>",
-        ),
-        PII_PHONE, "<PHONE>",
+
+    return docs.select(
+        "doc_id",
+        _n(t, PII_EMAIL, "n_emails"),
+        _n(after_email, PII_IPV4, "n_ips"),
+        _n(after_ip, PII_PHONE, "n_phones"),
+        scrubbed.alias("scrubbed"),
     )
-    return docs.select("doc_id", *counts, scrubbed.alias("scrubbed"))
 
 
 def quality_filter(docs: "DataFrame") -> "DataFrame":
@@ -493,9 +497,14 @@ def dedup_against_signatures(
             F.col("doc_id").alias("stored_doc_id"), "band_id", "band_key"
         )
     )
+    # NOTE: same-id pairs are kept deliberately — a stored doc_id showing
+    # up again in a new batch is a RE-CRAWL of the same url, the single
+    # most common duplicate an ingest store exists to drop (its signature
+    # matches on every band, est_jaccard 1.0). Self-match callers (the
+    # intra-batch pass) already orient pairs with new > stored, which
+    # drops (X, X) rows without exempting re-crawls here.
     cand = (
         new_bands.join(store_bands, ["band_id", "band_key"])
-        .where(F.col("new_doc_id") != F.col("stored_doc_id"))
         .select("new_doc_id", "stored_doc_id")
         .distinct()
     )

@@ -221,6 +221,57 @@ def test_stream_sessions_out_of_order_merge(spark, tmp_path):
     assert not any(s == (base, base, 1) for s in sessions), sessions
 
 
+def test_stream_sessions_boundary_event_at_watermark_merges(spark, tmp_path):
+    """An event arriving exactly AT the watermark is still admissible and
+    merges under the inclusive gap rule (s - last == gap), so a session
+    with last + gap == wm must NOT have sealed yet. Regression: sealing on
+    last + gap <= wm emitted the session one batch early and the boundary
+    event split it in two."""
+    import time as _time
+
+    base = 1_700_000_000
+    gap, delay = 1800, 600
+    batches = [
+        # user 2's event drives the watermark to exactly base + gap
+        [(1, base), (2, base + gap + delay)],
+        [(1, base + gap)],               # ts == wm: admissible, merges
+        [(2, base + 100_000)],           # far future: seals user 1
+        [(2, base + 200_000)],           # fires user 1's timeout
+    ]
+    src = str(tmp_path / "bnd_in")
+    for rows in batches:
+        df = spark.createDataFrame(
+            [(u, t) for u, t in rows], "user_id long, ts_epoch long"
+        ).select("user_id", F.timestamp_seconds("ts_epoch").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.stream_sessions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bnd_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM bnd_t"
+    ).collect()
+    u1 = sorted(
+        (int(r["session_start"].timestamp()),
+         int(r["session_end"].timestamp()), r["n_events"])
+        for r in rows if r["user_id"] == 1
+    )
+    assert u1 == [(base, base + gap, 2)], u1
+
+
 def test_crawl_rate_watermarked_window(spark, staged_corpus, tmp_path):
     input_dir, pages = staged_corpus
     stream = streaming.read_page_stream(spark, input_dir)
@@ -366,6 +417,26 @@ def test_stream_kg_dedup_drops_history_near_dups(spark, tmp_path):
         for r in streaming._page_doc_ids(fresh).select("doc_id").collect()
     }
     assert {r["doc_id"] for r in sig_b.select("doc_id").collect()} <= fresh_ids
+
+
+def test_stream_kg_dedup_drops_same_url_recrawl(spark, tmp_path):
+    """A later batch re-crawling the SAME url (identical doc_id, identical
+    text) must drop via the history path — the most common duplicate a
+    crawl store sees. Regression: the candidate filter used to exempt
+    same-id pairs, so re-crawls were extracted twice and re-committed."""
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "sigstore")
+    concepts = fixtures.concept_df(spark)
+
+    b0 = fixtures.pages_df(spark, 12, seed=5)
+    streaming.process_kg_dedup_batch(b0, 0, concepts, out, store)
+    # batch 1 = the exact same pages again (url-for-url re-crawl)
+    streaming.process_kg_dedup_batch(b0, 1, concepts, out, store)
+
+    out_b1 = streaming.read_stream_output(spark, out).where("batch = 1")
+    assert out_b1.count() == 0, "re-crawled pages must not re-extract"
+    sig_b1 = spark.read.parquet(store + "/batch=1")
+    assert sig_b1.count() == 0, "re-crawled signatures must not re-commit"
 
 
 def test_stream_kg_dedup_cold_start_intra_batch(spark, tmp_path):
@@ -543,6 +614,35 @@ def test_link_store_compaction_and_replay(spark, tmp_path):
     streaming.process_link_batch(b0, 0, store)  # replay of compacted batch
     assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
     streaming.compact_link_store(spark, store, 1)  # same watermark: no-op
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+
+
+def test_link_store_ignores_partial_base(spark, tmp_path):
+    """A base dir WITHOUT the _SUCCESS commit marker (crash mid-write) must
+    be invisible: totals come from the still-present deltas, the no-op
+    guard does not trust it, and a re-compaction overwrites it with a
+    committed base covering the same watermark."""
+    import os
+
+    from jamie_spark import linkgraph
+
+    b0, b1 = _linkstore_batches(spark)
+    store = str(tmp_path / "hosts")
+    streaming.process_link_batch(b0, 0, store)
+    streaming.process_link_batch(b1, 1, store)
+    ref = linkgraph.host_graph(linkgraph.extract_links(b0.unionByName(b1)))
+
+    # simulate the crash: a partial base=1 with data but no _SUCCESS
+    partial = os.path.join(store, "base=1")
+    os.makedirs(partial)
+    b0_only = linkgraph.host_graph(linkgraph.extract_links(b0))
+    b0_only.write.mode("overwrite").parquet(partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+
+    assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
+    streaming.compact_link_store(spark, store, 1)  # replayed compaction
+    assert os.path.exists(os.path.join(store, "base=1", "_SUCCESS"))
+    assert not any(n.startswith("batch=") for n in os.listdir(store))
     assert _hosts_equal(streaming.host_graph_totals(spark, store), ref)
 
 

@@ -35,6 +35,28 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_null_payload_is_attached_not_skipped(spark):
+    """The asof match attaches exactly ONE right row — a legitimately NULL
+    value in the matched row must come through as NULL, and multiple value
+    columns must all come from that same row. Regression: per-column
+    last(ignorenulls) skipped NULLs (stale older value) and could stitch
+    columns from different right rows."""
+    left = spark.createDataFrame(
+        [(1, _t(3))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(1), 1.0, None), (1, _t(2), None, 2.0)],
+        "user_id long, ts timestamp, a double, b double",
+    )
+    rows = temporal.asof_join(
+        left, right, value_cols=["a", "b"]
+    ).collect()
+    assert len(rows) == 1
+    # the ts=2 row is the asof match: a is NULL there, b is 2.0
+    assert rows[0]["a_right"] is None
+    assert rows[0]["b_right"] == 2.0
+
+
 def test_asof_join_keeps_left_payload(spark):
     left = spark.createDataFrame(
         [(1, _t(9), "x")], "user_id long, ts timestamp, tag string"

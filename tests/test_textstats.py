@@ -483,6 +483,7 @@ def test_pii_scrub_semantics(spark):
             (3, "no pii here at all"),
             (4, "version 1.2.3.4 and 255.255.255.255 both count"),
             (5, "bare u@10.0.0.7 is not an email (no alpha tld) so the ip scrubs"),
+            (6, "call 012-345-6789@x.com for help"),
         ],
         "doc_id long, text string",
     )
@@ -490,12 +491,12 @@ def test_pii_scrub_semantics(spark):
     r1 = got[1]
     assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (1, 1, 1)
     assert r1["scrubbed"] == "mail <EMAIL> and <IP> plus <PHONE> done"
-    # email-first ordering: a dotted-quad INSIDE an email's domain must
-    # scrub as part of ONE email, never split by the ip pass (the ip count
-    # on RAW text still sees those bytes — counts are detection signals,
-    # the scrub order is the redaction contract)
+    # email-first ordering: a dotted-quad INSIDE an email's domain scrubs
+    # as part of ONE email, and the staged counts agree — the ip count
+    # runs on the email-scrubbed text, so those bytes are NOT an ip hit
+    # (counts reconcile with the placeholders in `scrubbed`)
     assert got[2]["scrubbed"] == "address <EMAIL> has an ip inside its domain"
-    assert got[2]["n_emails"] == 1 and got[2]["n_ips"] == 1
+    assert got[2]["n_emails"] == 1 and got[2]["n_ips"] == 0
     assert got[3]["scrubbed"] == "no pii here at all"
     assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
     assert got[4]["n_ips"] == 2
@@ -504,3 +505,9 @@ def test_pii_scrub_semantics(spark):
     # ip pass redacts the dotted quad instead — nothing leaks either way
     assert got[5]["n_emails"] == 0 and got[5]["n_ips"] == 1
     assert "<IP>" in got[5]["scrubbed"] and "10.0.0.7" not in got[5]["scrubbed"]
+    # a phone-shaped local part consumed by the email replacement is ONE
+    # email and ZERO phones — counts must match the emitted placeholders
+    # (regression: phone count used to run on raw text and report 1)
+    r6 = got[6]
+    assert (r6["n_emails"], r6["n_ips"], r6["n_phones"]) == (1, 0, 0)
+    assert r6["scrubbed"] == "call <EMAIL> for help"
