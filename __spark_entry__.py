@@ -2124,10 +2124,14 @@ def _pagerank_ctes(
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"
     ]
     for i in range(1, iters + 1):
+        # damping via the engine's exact overflow-safe decomposition:
+        # (d * m) // 100 == d * (m // 100) + (d * (m % 100)) // 100
         ctes.append(f"""r{i} AS (
     SELECT n.node,
-           CAST({base} + ({damping_num} * COALESCE(m.mass, 0)) // 100 AS BIGINT)
-               AS rank_fp
+           CAST({base}
+                + {damping_num} * (COALESCE(m.mass, 0) // 100)
+                + ({damping_num} * (COALESCE(m.mass, 0) % 100)) // 100
+                AS BIGINT) AS rank_fp
     FROM nodes n LEFT JOIN (
         SELECT ed.dst AS node, SUM(r.rank_fp // ed.out_deg) AS mass
         FROM (SELECT e.src, e.dst, o.out_deg
@@ -2138,6 +2142,43 @@ def _pagerank_ctes(
         GROUP BY ed.dst
     ) m USING (node))""")
     return ",\n".join(ctes)
+
+
+def _crawled_norm_cte() -> str:
+    """``crawled(url)`` CTE: linkpages' own urls through the SAME
+    normalization rule set the candidates went through (twin of
+    linkgraph.normalize_url applied to the crawled side in crawl_frontier
+    — a fetched page whose stored url is non-canonical must still count
+    as crawled). Shares every regex constant with lnorm; keep the rebuild
+    shape in lockstep with _link_edges_sql's lnorm CTE."""
+    from jamie_spark import linkgraph as lg
+
+    return f"""
+crawled AS (
+    SELECT scheme || '://' || hostp
+           || (CASE WHEN port = ''
+                      OR (scheme = 'https' AND port = '443')
+                      OR (scheme = 'http' AND port = '80')
+                    THEN '' ELSE ':' || port END)
+           || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END)
+           || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS url
+    FROM (SELECT *,
+                 COALESCE(array_to_string(
+                     list_filter(
+                         string_split(query, '&'),
+                         x -> x <> ''
+                              AND NOT regexp_matches(x, '{lg.TRACKING_PARAM_RE}')
+                     ), '&'), '') AS cq
+          FROM (SELECT lower(regexp_extract(u, '{lg.SCHEME_RE}', 1)) AS scheme,
+                       lower(regexp_extract(u, '{lg.HOST_RE}', 1)) AS hostp,
+                       regexp_extract(u, '{lg.PORT_RE}', 1) AS port,
+                       regexp_extract(u, '{lg.PATH_RE}', 1) AS path,
+                       regexp_extract(u, '{lg.QUERY_RE}', 1) AS query
+                FROM (SELECT regexp_replace(url, '#.*$', '') AS u
+                      FROM linkpages)))
+    WHERE scheme IN ('http', 'https') AND hostp <> ''
+)"""
 
 
 def _host_wedges_cte(specs=None) -> str:
@@ -2170,8 +2211,10 @@ def _pagerank_weighted_ctes(
     for i in range(1, iters + 1):
         ctes.append(f"""r{i} AS (
     SELECT n.node,
-           CAST({base} + ({damping_num} * COALESCE(m.mass, 0)) // 100 AS BIGINT)
-               AS rank_fp
+           CAST({base}
+                + {damping_num} * (COALESCE(m.mass, 0) // 100)
+                + ({damping_num} * (COALESCE(m.mass, 0) % 100)) // 100
+                AS BIGINT) AS rank_fp
     FROM nodes n LEFT JOIN (
         SELECT ed.dst AS node,
                SUM((r.rank_fp // ed.out_w) * ed.w
@@ -3190,12 +3233,13 @@ GROUP BY 1, 2
         "crawl_frontier": f"""
 WITH {_host_wedges_cte(_LSTREAM_SPECS).strip()},
 {_pagerank_weighted_ctes(5)},
+{_crawled_norm_cte().strip()},
 top AS (
     SELECT node, rank_fp FROM r5
     ORDER BY rank_fp DESC, node LIMIT {_FRONTIER_HOSTS}),
 cand AS (
     SELECT DISTINCT dst_url AS url FROM lnorm
-    WHERE dst_url NOT IN (SELECT url FROM linkpages)),
+    WHERE dst_url NOT IN (SELECT url FROM crawled)),
 ch AS (
     SELECT url, lower(regexp_extract(url, '{_lg_host_re()}', 1)) AS host
     FROM cand),
@@ -3257,12 +3301,22 @@ WITH {_link_edges_sql().strip()},
 ali(concept_id, tok) AS (VALUES {_alias_values()}),
 atoks AS (
     SELECT src_url, dst_url,
-           unnest(regexp_extract_all(anchor, '{_lg_token_re()}')) AS tok
+           regexp_extract_all(anchor, '{_lg_token_re()}') AS toks
     FROM lnorm
+),
+-- 1..3-token concatenated n-grams: the pipeline NER's longest-match
+-- horizon, so multi-class aliases (kanji+hiragana etc.) match too
+agrams AS (
+    SELECT src_url, dst_url,
+           array_to_string(list_slice(toks, i, i + n - 1), '') AS tok
+    FROM atoks,
+         unnest(range(1, len(toks) + 1)) AS t(i),
+         unnest(range(1, 4)) AS s(n)
+    WHERE i + n - 1 <= len(toks)
 ),
 hits AS (
     SELECT DISTINCT a.src_url, a.dst_url, l.concept_id
-    FROM atoks a JOIN ali l USING (tok)
+    FROM agrams a JOIN ali l USING (tok)
 )
 SELECT dst_url, concept_id, CAST(COUNT(*) AS BIGINT) AS n_refs
 FROM hits GROUP BY 1, 2
@@ -3410,7 +3464,7 @@ SELECT s.node_a, s.node_b, CAST(s.shared AS BIGINT) AS shared,
 FROM sh s
 JOIN deg da ON da.node = s.node_a
 JOIN deg db ON db.node = s.node_b
-WHERE ROUND(s.shared / (da.deg + db.deg - s.shared), 4) >= {_NBR_THRESHOLD}
+WHERE s.shared / (da.deg + db.deg - s.shared) >= {_NBR_THRESHOLD}
 """,
         "kg_entity_sim_zipf": f"""
 WITH seq AS (SELECT unnest(range(0, {_ZIPF_EDGES_N})) AS i),
@@ -3435,7 +3489,7 @@ SELECT s.node_a, s.node_b, CAST(s.shared AS BIGINT) AS shared,
 FROM sh s
 JOIN deg da ON da.node = s.node_a
 JOIN deg db ON db.node = s.node_b
-WHERE ROUND(s.shared / (da.deg + db.deg - s.shared), 4) >= {_ZIPF_SIM_THRESHOLD}
+WHERE s.shared / (da.deg + db.deg - s.shared) >= {_ZIPF_SIM_THRESHOLD}
 """,
         "asof_join": """
 WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),

@@ -288,15 +288,13 @@ def main() -> None:
             .cache()
         )
         pdocs.count()
-        from jamie_spark import textstats as TS
-
         t = time.perf_counter()
-        n_kept = TS.token_budget_sample(
+        n_kept = textstats.token_budget_sample(
             pdocs, budget=200_000, group_col="source"
         ).count()
         timings["pack_stress_budget"] = round(time.perf_counter() - t, 3)
         t = time.perf_counter()
-        TS.sequence_pack(pdocs, 2048, group_col="source").count()
+        textstats.sequence_pack(pdocs, 2048, group_col="source").count()
         timings["pack_stress_sequence"] = round(time.perf_counter() - t, 3)
         pdocs.unpersist()
         for k in ("pack_stress_budget", "pack_stress_sequence"):
@@ -395,6 +393,8 @@ def main() -> None:
     if stream_docs > 0:
         import shutil
 
+        # re-imported here (not reusing the stress block's bindings): this
+        # block must stand alone when SPARK_GRAFT_STRESS_DOCS=0
         from pyspark.sql import functions as SF
 
         from jamie_spark import fixtures, streaming

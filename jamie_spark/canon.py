@@ -36,8 +36,20 @@ if TYPE_CHECKING:  # pragma: no cover
 
 def _graphframes_available(spark) -> bool:
     try:
-        spark._jvm.org.graphframes.GraphFrame  # noqa: B018
         import graphframes  # noqa: F401
+
+        # py4j returns a JavaPackage (no raise) for a missing class, so
+        # attribute access alone cannot probe the JAR — load the class
+        # through reflection, which raises when the jar is absent. Without
+        # this, pip-installed graphframes with no spark-packages jar (the
+        # common misconfiguration) would take the GraphFrames branch and
+        # crash mid-job instead of falling back to star/minlabel.
+        # context classloader, not Class.forName: jars added at session
+        # start (--packages / spark.jars) live there, not always on the
+        # JVM system classpath
+        spark._jvm.Thread.currentThread().getContextClassLoader().loadClass(
+            "org.graphframes.GraphFrame"
+        )
         return True
     except Exception:
         return False

@@ -307,9 +307,15 @@ def gen_doc(
                     s.surface = "肺癌"
             offset = 0
             rebuilt: list[str] = []
+            # consume each slot exactly once, in template order: picking by
+            # role alone would bind the SAME slot twice if a template ever
+            # repeats a role (corrupting gold spans); _instantiate emits
+            # slots in template order, so first-match + remove is stable
+            unbound = list(slots)
             for part in template:
                 if part in _ROLES:
-                    slot = next(s for s in slots if s.role == part and s.begin >= 0)
+                    slot = next(s for s in unbound if s.role == part)
+                    unbound.remove(slot)
                     toks = tokenize(slot.surface)
                     slot.begin, slot.end = offset, offset + len(toks)
                     offset += len(toks)

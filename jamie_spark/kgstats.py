@@ -41,8 +41,24 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
 
 # 1.0 of PageRank mass in fixed-point units. int64 holds total mass up to
-# ~9.2e9 vertices at this scale; raise/lower per deployment (documented knob).
+# ~9.2e9 vertices at this scale; raise/lower per deployment (documented
+# knob). The damping step uses the exact identity
+#   (d * m) div 100 == d * (m div 100) + (d * (m mod 100)) div 100
+# (valid because 100*(m div 100)*d is divisible by 100), so intermediate
+# products stay below ~0.85 * m + 8415 and the in-mass bound really is the
+# full int64 range — the naive d * m multiply would silently wrap once one
+# hub vertex collected more than ~1.1e8 vertices' worth of mass.
 PR_SCALE = 1_000_000_000
+
+
+def _damped(damping_num: int, mass_sql: str) -> "F.Column":
+    """``(damping_num * mass) div 100`` via the overflow-safe exact
+    decomposition above; ``mass_sql`` is an int64 SQL expression."""
+    d = int(damping_num)
+    return F.expr(
+        f"{d} * (({mass_sql}) div 100)"
+        f" + ({d} * (({mass_sql}) % 100)) div 100"
+    )
 
 
 def degrees(edges: "DataFrame") -> "DataFrame":
@@ -134,14 +150,16 @@ def _check_cadence(checkpoint_every: int) -> None:
         )
 
 
-def orient(edges: "DataFrame") -> "DataFrame":
+def orient(edges: "DataFrame", und: "DataFrame | None" = None) -> "DataFrame":
     """Degree-order the undirected projection: every edge points from the
     LOWER to the HIGHER endpoint under the total order (degree, node) — so
     every vertex's oriented out-degree is bounded by O(sqrt(m)) on any graph
     (a max-degree hub's edges ALL point into it: oriented out-degree 0).
     Public so the skew tests can assert the hub-flattening directly.
-    Returns (lo, hi)."""
-    und = _undirected(edges)
+    ``und`` lets callers that already materialized the undirected
+    projection (triangles) share it instead of re-deriving the scan +
+    distinct. Returns (lo, hi)."""
+    und = _undirected(edges) if und is None else und
     deg = _und_degrees(und)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -176,8 +194,12 @@ def triangles(edges: "DataFrame") -> "DataFrame":
     (y, z) is an equi-join on both endpoints. Output columns are the
     id-sorted triple so the result is orientation-independent.
     """
-    und = _undirected(edges)
-    oriented = orient(edges)
+    # und feeds the closing join AND orient's degree lineage (3+ reads of
+    # the raw scan + distinct otherwise; the branches shuffle on different
+    # keys so ReuseExchange cannot collapse them) — materialize once, the
+    # same treatment neighbor_jaccard gives its adjacency
+    und = _undirected(edges).localCheckpoint(eager=True)
+    oriented = orient(edges, und=und)
     w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     # y < z by id keeps each wedge once (both orderings close the same triangle)
@@ -293,20 +315,23 @@ def neighbor_jaccard(
     )
     da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("deg_b"))
+    # threshold on the EXACT ratio, round only the output column: rounding
+    # first would admit pairs just under the threshold (0.49996 -> 0.5)
+    # and make boundary pairs impossible to exclude. The exact double of
+    # an int/int division is engine-deterministic, so the oracle mirrors.
+    exact = F.col("shared") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("shared")
+    )
     return (
         shared.join(da, "node_a")
         .join(db, "node_b")
+        .where(exact >= threshold)
         .select(
             "node_a",
             "node_b",
             "shared",
-            F.round(
-                F.col("shared")
-                / (F.col("deg_a") + F.col("deg_b") - F.col("shared")),
-                4,
-            ).alias("jaccard"),
+            F.round(exact, 4).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -415,9 +440,7 @@ def pagerank_fixed(
                 "node",
                 (
                     F.lit(int(base))
-                    + F.expr(
-                        f"({damping_num} * coalesce(in_mass, 0L)) div 100"
-                    )
+                    + _damped(damping_num, "coalesce(in_mass, 0L)")
                 ).cast("long").alias("rank_fp"),
             )
         )
@@ -489,9 +512,7 @@ def pagerank_weighted(
                 "node",
                 (
                     F.lit(int(base))
-                    + F.expr(
-                        f"({damping_num} * coalesce(in_mass, 0L)) div 100"
-                    )
+                    + _damped(damping_num, "coalesce(in_mass, 0L)")
                 ).cast("long").alias("rank_fp"),
             )
         )

@@ -227,7 +227,10 @@ def crawl_frontier(
     """
     from . import kgstats, textstats
 
-    links = extract_links(pages, url_col=url_col)
+    # links feeds BOTH the rank side (host_graph -> pagerank) and the
+    # candidate side; without the persist the full-corpus HTML regexp
+    # extraction — the dominant cost at crawl scale — would run twice
+    links = extract_links(pages, url_col=url_col).persist()
     hg = host_graph(links)
     # WEIGHTED rank: the distinct-edge skeleton ties hosts that differ
     # 10x in citation count (measured on the extracted fixture graph —
@@ -246,10 +249,17 @@ def crawl_frontier(
         .limit(top_hosts)
         .withColumnRenamed("node", "host")
     )
+    # the crawled side is NORMALIZED too: candidates are canonical urls
+    # (extract_links normalizes), so an already-fetched page whose stored
+    # url differs only by case/trailing-slash/tracking-params must still
+    # count as crawled — otherwise it re-enters the frontier every cycle
+    crawled = pages.select(
+        normalize_url(F.col(url_col)).alias("url")
+    )
     cand = (
         links.select(F.col("dst_url").alias("url"))
         .distinct()
-        .join(pages.select(F.col(url_col).alias("url")), "url", "left_anti")
+        .join(crawled, "url", "left_anti")
         .withColumn("host", url_host(F.col("url")))
     )
     gated = cand.join(F.broadcast(top), "host")
@@ -281,32 +291,49 @@ def anchor_concepts(
     links: "DataFrame", concept_dict: "DataFrame"
 ) -> "DataFrame":
     """Anchor-text entity linking: which concepts does the web SAY a target
-    page is about? Every anchor token is matched against the concept alias
-    dictionary; the rollup counts distinct (referring page, concept) pairs
-    per target — the classic KG-construction signal (anchor text as a
-    crowd-sourced entity label for the linked page), fused from the link
-    tier and the pipeline's own concept dictionary.
+    page is about? Anchor token N-GRAMS (1..3 consecutive tokens,
+    concatenated — the same longest-match horizon as the pipeline's
+    dictionary NER) are matched against the concept alias dictionary; the
+    rollup counts distinct (referring page, concept) pairs per target —
+    the classic KG-construction signal (anchor text as a crowd-sourced
+    entity label for the linked page), fused from the link tier and the
+    pipeline's own concept dictionary. Single tokens alone would silently
+    miss every alias spanning tokenizer character classes (肺がん splits
+    to [肺, がん] under the pinned grammar); concatenation without a
+    separator reproduces the alias surface exactly because the tokenizer
+    drops whitespace and aliases never contain it.
 
     Plan: anchors tokenize JVM-side with the pinned grammar (one codegen'd
-    regexp per row — no Python), the token explode is bounded by anchor
-    length, and the alias table is a broadcast dim join (the dictionary,
-    like the pipeline's NER stage). Returns (dst_url, concept_id, n_refs)
-    where n_refs counts DISTINCT referring pages.
+    regexp per row — no Python), the gram explode is bounded by 3x anchor
+    token count, and the alias table is a broadcast dim join (the
+    dictionary, like the pipeline's NER stage). Returns (dst_url,
+    concept_id, n_refs) where n_refs counts DISTINCT referring pages.
     """
     # lit-pattern form: the grammar contains backslash escapes that a SQL
     # string literal (F.expr) would consume
     toks = links.select(
         "src_url",
         "dst_url",
+        F.regexp_extract_all("anchor", F.lit(TOKEN_RE), F.lit(0)).alias(
+            "toks"
+        ),
+    ).where(F.size("toks") > 0)  # sequence(1, 0) would auto-descend
+    grams = toks.select(
+        "src_url",
+        "dst_url",
         F.explode(
-            F.regexp_extract_all("anchor", F.lit(TOKEN_RE), F.lit(0))
+            F.expr(
+                "flatten(transform(sequence(1, size(toks)), i ->"
+                " transform(sequence(i, least(i + 2, size(toks))), j ->"
+                " concat_ws('', slice(toks, i, j - i + 1)))))"
+            )
         ).alias("tok"),
     )
     aliases = concept_dict.select(
         "concept_id", F.col("alias").alias("tok")
     ).distinct()
     hits = (
-        toks.join(F.broadcast(aliases), "tok")
+        grams.join(F.broadcast(aliases), "tok")
         .select("src_url", "dst_url", "concept_id")
         .distinct()
     )

@@ -120,6 +120,32 @@ def test_anchor_token_grammar_matches_tokenizer(spark):
         assert got[a] == tokenize(a), a
 
 
+def test_anchor_concepts_matches_multiclass_alias(spark):
+    """An alias spanning tokenizer character classes (肺がん -> [肺, がん])
+    must match via the concatenated n-gram path — single-token matching
+    silently dropped every such variant."""
+    links = spark.createDataFrame(
+        [
+            # NB both anchors split the alias at token boundaries
+            # ([肺, がん, 情報] / [検査, と, 肺, がん]); a trailing
+            # hiragana particle would FUSE into the がん token (がんの)
+            # and correctly not match — same contract as the pipeline NER
+            ("https://s.test/a", "https://t.test/x", "肺がん情報"),
+            ("https://s.test/b", "https://t.test/x", "検査と肺がん"),
+            ("https://s.test/c", "https://t.test/y", "無関係な話"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    cd = spark.createDataFrame(
+        [("C1", "肺がん")], "concept_id string, alias string"
+    )
+    got = {
+        (r["dst_url"], r["concept_id"]): r["n_refs"]
+        for r in linkgraph.anchor_concepts(links, cd).collect()
+    }
+    assert got == {("https://t.test/x", "C1"): 2}
+
+
 def test_anchor_concepts_maps_topic_pages(spark):
     """Disease-mentioning pages link a topic URL with the disease surface
     in the anchor; anchor_concepts must roll those up to the topic pages
@@ -225,6 +251,25 @@ def test_crawl_budget_floor_contract_per_host(spark):
     for r in rows:
         assert r["spent"] >= budget  # floor: boundary page kept
         assert r["spent"] < budget + r["maxc"]  # never beyond one page
+
+
+def test_crawl_frontier_normalizes_crawled_side(spark):
+    """A page already fetched under a NON-canonical url (uppercase host,
+    trailing slash) must not re-enter the frontier when a link points at
+    its canonical form — the anti-join compares canonical to canonical."""
+    html_a = '<p><a href="https://b.test/page">b</a>' \
+             '<a href="https://c.test/new">c</a></p>'
+    pages = spark.createDataFrame(
+        [
+            ("https://a.test/", bytearray(html_a.encode())),
+            # same resource as the linked https://b.test/page, stored raw
+            ("https://B.Test/page/", bytearray(b"<p>done</p>")),
+        ],
+        "url string, html binary",
+    )
+    got = {r["url"] for r in linkgraph.crawl_frontier(pages, 5, 5).collect()}
+    assert "https://c.test/new" in got
+    assert "https://b.test/page" not in got
 
 
 def test_crawl_frontier_semantics(spark):
