@@ -164,6 +164,7 @@ def main() -> None:
         "kg_negative_sample",
         "kg_snapshot_asof",
         "kg_triple_intervals",
+        "kg_triple_provenance",
         "link_edges",
         "link_host_graph",
         "link_host_rank",
