@@ -148,7 +148,24 @@ def main(argv: list[str] | None = None) -> int:
         parallel_buckets=args.parallel_buckets,
     )
     lin = lineage.read_lineage(spark, args.out)
-    total = lin.groupBy().sum("triple_count").first()[0] or 0
+    # the ledger is append-only: after a model swap (or any re-run) each
+    # (stage, bucket) holds rows per version while the data dir holds only
+    # the LATEST overwrite — sum the newest row per bucket, not the ledger
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    latest = (
+        lin.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("stage", "bucket").orderBy(
+                    F.col("completed_at").desc()
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+    )
+    total = latest.groupBy().sum("triple_count").first()[0] or 0
     print(f"processed buckets this run: {done}")
     print(f"total triples materialized: {total}")
     if args.analytics:

@@ -27,22 +27,49 @@ IGNORED_LABELS = ("N", "O", "_", "OO")
 def per_label_counts(
     gold: "DataFrame", pred: "DataFrame", key_cols: list[str], label_col: str
 ) -> "DataFrame":
-    """-> (label, tps, fps, fns) via multiset tuple matching."""
+    """-> (label, tps, fps, fns) via multiset tuple matching.
+
+    NULL-safe throughout, matching the reference's Python multiset
+    semantics (None == None): a NULL label is NOT in IGNORED_LABELS (the
+    raw ``~isin`` would evaluate to NULL and silently drop the row — a
+    vanished false positive), and tuple keys join with eqNullSafe so two
+    tuples agreeing on a NULL field still pair up as the reference's
+    tuple equality does."""
+    from functools import reduce
+
     keys = [label_col] + [c for c in key_cols if c != label_col]
+    keep = F.col(label_col).isNull() | ~F.col(label_col).isin(
+        *IGNORED_LABELS
+    )
+    # GROUP BY treats NULL keys as equal — same as Python tuple hashing.
+    # Explicit aliases: gold and pred often share plan lineage (pred is
+    # derived from the same scan), and unqualified g[c]/p[c] references
+    # would be ambiguous in the self-join.
     g = (
-        gold.where(~F.col(label_col).isin(*IGNORED_LABELS))
+        gold.where(keep)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("gc"))
+        .alias("_g")
     )
     p = (
-        pred.where(~F.col(label_col).isin(*IGNORED_LABELS))
+        pred.where(keep)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("pc"))
+        .alias("_p")
     )
-    joined = g.join(p, on=keys, how="full_outer").select(
-        F.col(label_col).alias("label"),
-        F.coalesce("gc", F.lit(0)).alias("gc"),
-        F.coalesce("pc", F.lit(0)).alias("pc"),
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"_g.{c}").eqNullSafe(F.col(f"_p.{c}"))
+            for c in keys
+        ],
+    )
+    joined = g.join(p, on=cond, how="full_outer").select(
+        F.coalesce(
+            F.col(f"_g.{label_col}"), F.col(f"_p.{label_col}")
+        ).alias("label"),
+        F.coalesce(F.col("_g.gc"), F.lit(0)).alias("gc"),
+        F.coalesce(F.col("_p.pc"), F.lit(0)).alias("pc"),
     )
     return joined.groupBy("label").agg(
         F.sum(F.least("gc", "pc")).alias("tps"),
@@ -137,9 +164,24 @@ def downsample_negatives(
 ) -> "DataFrame":
     """R3: keep all positive pairs, a seeded ``keep_prob`` fraction of 'N'
     pairs (reference utils.py:1655-1658, clinical_pipeline_rel.py:63-73).
-    Training-prep only — never on the inference path."""
+    Training-prep only — never on the inference path.
+
+    The draw is a seeded hash of the ROW CONTENT, not ``F.rand`` —
+    rand(seed) depends on partition index and row order, so the kept set
+    would change under repartitioning/AQE and differ between two actions
+    on the same frame (the engine's no-rand() rule; train_dev_split and
+    graph.salted use the same trick). Byte-identical duplicate rows draw
+    identically (all kept or all dropped) — the deterministic analogue of
+    the reference's per-row RNG."""
+    u = (
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in pairs.columns], F.lit(seed)),
+            F.lit(1_000_000),
+        )
+        / 1_000_000.0
+    )
     return pairs.where(
-        (F.col(rel_col) != "N") | (F.rand(seed) < F.lit(keep_prob))
+        (F.col(rel_col) != "N") | (u < F.lit(keep_prob))
     )
 
 

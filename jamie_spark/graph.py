@@ -144,6 +144,13 @@ def materialize(
     df = salted(triples, n_buckets, n_salts)
     part = df.repartition(n_buckets, "bucket", "salt")
     if table is not None:
+        # only the modes DSv2 actually expresses: collapsing 'error' or
+        # 'ignore' into append would silently duplicate every triple in
+        # the catalog table where the parquet branch would have raised
+        if mode not in ("overwrite", "append"):
+            raise ValueError(
+                f"Iceberg path supports mode 'overwrite'|'append', got {mode!r}"
+            )
         writer = part.writeTo(table).using("iceberg")
         if mode == "overwrite":
             writer.partitionedBy(F.col("bucket")).createOrReplace()

@@ -4,8 +4,12 @@ Every pipeline run processes the corpus in url-hash buckets. Each completed
 bucket appends (atomically, via parquet append of a single small file) one
 lineage row:
 
-    (stage, bucket, url_min, url_max, model_version, row_count, triple_count,
-     completed_at)
+    (stage, bucket, n_buckets, url_min, url_max, model_version, row_count,
+     triple_count, completed_at)
+
+``n_buckets`` records the bucket MODULUS the run used; resume validates it
+(a different modulus renumbers the url-hash partitions and would silently
+duplicate/drop documents against the kept ``bucket=N`` data dirs).
 
 Resume = anti-join of the full bucket list against completed lineage rows —
 only pending buckets are (re)computed, so a killed run re-executes at most one
@@ -28,9 +32,9 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame, SparkSession
 
 LINEAGE_DDL = (
-    "stage string, bucket int, url_min string, url_max string, "
-    "model_version string, row_count long, triple_count long, "
-    "completed_at timestamp"
+    "stage string, bucket int, n_buckets int, url_min string, "
+    "url_max string, model_version string, row_count long, "
+    "triple_count long, completed_at timestamp"
 )
 
 
@@ -39,11 +43,22 @@ def lineage_path(base: str) -> str:
 
 
 def read_lineage(spark: "SparkSession", base: str) -> "DataFrame":
+    """The lineage ledger, or an EMPTY frame only when none exists yet.
+
+    Only path-not-found maps to "no lineage": swallowing every read error
+    would turn a transient storage failure or a corrupt footer into a
+    silent full reprocess (idempotent data-wise, but potentially the whole
+    corpus re-run) PLUS duplicate appended rows — fail loudly instead."""
+    from pyspark.errors import AnalysisException
+
     path = lineage_path(base)
     try:
         return spark.read.schema(LINEAGE_DDL).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema=LINEAGE_DDL)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], schema=LINEAGE_DDL)
+        raise
 
 
 def pending_buckets(
@@ -57,8 +72,25 @@ def pending_buckets(
 
     Keying on model_version means swapping the model (JAMIE_MODEL) correctly
     invalidates prior completions instead of silently skipping them.
-    """
+
+    The bucket MODULUS is validated against the ledger: resuming with a
+    different ``n_buckets`` would renumber the url-hash partitions, so the
+    kept ``bucket=N`` data dirs no longer mean what the new bucket list
+    means — documents would silently duplicate (reprocessed under a new
+    bucket id while the old dir remains) or drop. Same contract as the
+    search index's stats-row validation."""
     lin = read_lineage(spark, base).where(F.col("stage") == stage)
+    moduli = {
+        r["n_buckets"]
+        for r in lin.select("n_buckets").distinct().collect()
+    }
+    if moduli - {None, n_buckets}:
+        raise ValueError(
+            f"lineage at {base!r} (stage {stage!r}) was written with "
+            f"n_buckets={sorted(m for m in moduli if m is not None)}; "
+            f"resume must use the same modulus, not {n_buckets} "
+            "(or start a fresh out dir)"
+        )
     if model_version is not None:
         lin = lin.where(F.col("model_version") == model_version)
     done = {r["bucket"] for r in lin.select("bucket").distinct().collect()}
@@ -82,11 +114,13 @@ def append_lineage_row(
     model_version: str,
     row_count: int,
     triple_count: int,
+    n_buckets: int | None = None,
 ) -> None:
     row = [
         {
             "stage": stage,
             "bucket": bucket,
+            "n_buckets": n_buckets,
             "url_min": url_min,
             "url_max": url_max,
             "model_version": model_version,

@@ -171,6 +171,11 @@ def run_with_lineage(
         result = run_kg(subset, concept_dict, lang=lang)
         out = result["canonical_triples"].persist()
         n_triples = out.count()
+        # a second pass over the source, but column-pruned by design: the
+        # agg touches only `url` (and the bucket filter is a function of
+        # url), so a columnar source reads one thin column, never the html
+        # payload. Deriving these stats from the persisted annotations
+        # would silently drop no-sentence pages from row_count.
         stats = subset.agg(
             F.min("url").alias("lo"), F.max("url").alias("hi"),
             F.count(F.lit(1)).alias("n"),
@@ -183,7 +188,7 @@ def run_with_lineage(
         release(result)
         lineage.append_lineage_row(
             spark, out_dir, stage, b, stats["lo"], stats["hi"],
-            mv, stats["n"], n_triples,
+            mv, stats["n"], n_triples, n_buckets=n_buckets,
         )
 
     if parallel_buckets <= 1:

@@ -31,6 +31,52 @@ if TYPE_CHECKING:  # pragma: no cover
 SCORE_FP = 1_000_000
 
 
+def _bm25_doc_scores(
+    tf_rows: "DataFrame",
+    df_t: "DataFrame",
+    dl: "DataFrame",
+    stats: "DataFrame",
+    k1: float,
+    b: float,
+    term_col: str,
+) -> "DataFrame":
+    """Shared BM25 scoring tail — the ONE copy of the idf/saturation/
+    fixed-point formula, consumed by both the scan path (bm25_scores) and
+    the materialized index (search_index) so the two can never drift.
+    ``tf_rows`` must carry (doc_id, ``term_col``, tf)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    sat = (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    term_fp = F.round(idf * sat * SCORE_FP).cast("long")
+    return (
+        tf_rows.join(F.broadcast(df_t), term_col)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("fp") / SCORE_FP, 4).alias("score"))
+    )
+
+
+def _ranked_topk(scored: "DataFrame", k: int) -> "DataFrame":
+    """Deterministic (rank, doc_id, score) top-k, ties by doc_id — shared
+    by every search entry point. orderBy().limit(k) compiles to
+    TakeOrderedAndProject (distributed per-partition top-k, no global
+    sort); the rank window runs over only the k survivors."""
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score"
+    )
+
+
 def bm25_scores(
     docs: "DataFrame",
     terms: Sequence[str],
@@ -56,23 +102,7 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    sat = (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
-    term_fp = F.round(idf * sat * SCORE_FP).cast("long")
-    return (
-        tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_fp.alias("fp"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("fp") / SCORE_FP, 4).alias("score"))
-    )
+    return _bm25_doc_scores(tf, df_t, dl, stats, k1, b, "w")
 
 
 #: term-hash partition count for the materialized index
@@ -132,8 +162,6 @@ def search_index(
     that disagrees with what the writer used raises instead of silently
     pruning to the wrong buckets (a modulus mismatch would drop matching
     postings with no error)."""
-    from pyspark.sql import Window
-
     stats = spark.read.schema("n_docs long, avgdl double, n_buckets int").parquet(
         f"{path}/stats"
     )
@@ -166,50 +194,14 @@ def search_index(
     dl = spark.read.schema("doc_id long, dl long").parquet(f"{path}/doclen")
     stats = stats.select("n_docs", "avgdl")
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    sat = (
-        F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
-    )
-    term_fp = F.round(idf * sat * SCORE_FP).cast("long")
-    topk = (
-        postings.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_fp.alias("fp"))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("fp") / SCORE_FP, 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "score"
+    return _ranked_topk(
+        _bm25_doc_scores(postings, df_t, dl, stats, k1, b, "term"), k
     )
 
 
 def search_topk(
     docs: "DataFrame", terms: Sequence[str], k: int = 10, **kw
 ) -> "DataFrame":
-    """Deterministic top-k: (rank, doc_id, score), ties broken by doc_id.
-
-    orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
-    per-partition top-k merged on the driver — NOT a global sort; the
-    row_number window then runs over only the k surviving rows. (A naive
-    global `row_number().over(Window.orderBy(...))` would funnel the whole
-    scored corpus through one task.)
-    """
-    from pyspark.sql import Window
-
-    topk = (
-        bm25_scores(docs, terms, **kw)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "doc_id", "score"
-    )
+    """Deterministic top-k: (rank, doc_id, score), ties broken by doc_id
+    (shared rank tail — see :func:`_ranked_topk` for the plan rationale)."""
+    return _ranked_topk(bm25_scores(docs, terms, **kw), k)

@@ -55,6 +55,21 @@ logger = logging.getLogger(__name__)
 DIM = 64
 
 
+def _per_query_topk(scored: "DataFrame", k: int) -> "DataFrame":
+    """Shared per-query rank tail: (query_id, rank, neighbor_id, score),
+    ties by neighbor_id — the ONE copy of the ranking contract every ANN
+    entry point (exact, LSH, IVF, int8) returns through, so a tie-break or
+    rounding change cannot silently diverge one variant."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def _dot(a: str, b: str) -> "F.Column":
     """Sequential index-ordered dot product of two array<float> columns."""
     return F.expr(
@@ -99,14 +114,7 @@ def cosine_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _pair_score().alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return _per_query_topk(scored, k)
 
 
 def cosine_pairs(embeddings: "DataFrame", threshold: float = 0.45) -> "DataFrame":
@@ -474,12 +482,7 @@ def ivf_topk(
         .join(q_emb, "query_id")
         .select("query_id", "neighbor_id", _pair_score().alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return _per_query_topk(scored, k)
 
 
 def lsh_topk(
@@ -543,12 +546,7 @@ def lsh_topk(
         .join(q_emb, "query_id")
         .select("query_id", "neighbor_id", _pair_score().alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return _per_query_topk(scored, k)
 
 
 def quantize_int8(embeddings: "DataFrame") -> "DataFrame":
@@ -630,11 +628,4 @@ def cosine_topk_int8(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-    )
+    return _per_query_topk(scored, k)

@@ -121,6 +121,35 @@ def test_modality_family_scores_and_downsampling(spark, corpus, extracted):
     assert kept.where("rel != 'N'").count() == 500  # all positives kept
     n_neg = kept.where("rel = 'N'").count()
     assert 10 <= n_neg <= 120  # ~10% of 500 negatives
+    # partitioning-invariant (the no-rand rule): the SAME rows survive
+    # under any repartitioning, and re-evaluation cannot change the set
+    ids = sorted(r["pair_id"] for r in kept.select("pair_id").collect())
+    re_kept = ev.downsample_negatives(
+        pairs.repartition(7), "rel", keep_prob=0.1, seed=1
+    )
+    assert sorted(r["pair_id"] for r in re_kept.select("pair_id").collect()) == ids
+
+
+def test_per_label_counts_null_safe(spark):
+    """Reference multiset semantics: None == None. A NULL label is a real
+    label (not silently dropped by the isin filter), and tuples agreeing
+    on a NULL key field still pair up."""
+    gold = spark.createDataFrame(
+        [(1, "d", None), (2, None, "x")],
+        "tid long, label string, extra string",
+    )
+    pred = spark.createDataFrame(
+        [(1, "d", None), (2, None, "x"), (3, None, "y")],
+        "tid long, label string, extra string",
+    )
+    got = {
+        r["label"]: (r["tps"], r["fps"], r["fns"])
+        for r in ev.per_label_counts(
+            gold, pred, ["tid", "extra"], "label"
+        ).collect()
+    }
+    assert got["d"] == (1, 0, 0)       # NULL extra matched null-safely
+    assert got[None] == (1, 1, 0)      # NULL label: one TP, one FP
 
 
 def test_linking_exact_and_fuzzy(spark, corpus):
@@ -367,6 +396,26 @@ def test_lineage_resume_idempotent(spark, corpus, tmp_path):
     lin = pipeline.lineage.read_lineage(spark, out)
     assert lin.groupBy("bucket").count().where(F.col("count") > 1).count() == 0
     assert lin.agg(F.sum("triple_count")).first()[0] == oneshot.count()
+    # the ledger records the modulus on every row
+    assert {r["n_buckets"] for r in lin.select("n_buckets").collect()} == {4}
+
+
+def test_lineage_rejects_modulus_change(spark, corpus, tmp_path):
+    """Resuming with a different --buckets value renumbers the url-hash
+    partitions against the kept bucket=N data dirs (silent duplicate/drop)
+    — pending_buckets must refuse, same contract as the search index's
+    stats validation."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "kg")
+    pipeline.run_with_lineage(
+        spark, corpus["pages"], corpus["concepts"], out,
+        n_buckets=4, max_buckets=1,
+    )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        pipeline.run_with_lineage(
+            spark, corpus["pages"], corpus["concepts"], out, n_buckets=8
+        )
 
 
 def test_parallel_buckets_resume_idempotent(spark, corpus, tmp_path):
