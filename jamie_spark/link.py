@@ -30,9 +30,14 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import Column, DataFrame
 
-# translate() mapping for the full-width ASCII block (zen_to_han, JVM-side)
-_ZEN = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
-_HAN = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+# translate() mapping for the full-width ASCII block — DERIVED from
+# textnorm's _ZEN2HAN so the JVM-side alias normalization can never
+# desynchronize from the Python-side surface normalization (two
+# independently-maintained copies of the same table would drift)
+from .textnorm import _ZEN2HAN as _Z2H
+
+_ZEN = "".join(chr(c) for c in sorted(_Z2H))
+_HAN = "".join(chr(_Z2H[c]) for c in sorted(_Z2H))
 
 N_HASHES = 16
 N_BANDS = 8  # rows-per-band = N_HASHES // N_BANDS = 2
@@ -115,7 +120,16 @@ def link_surfaces(
       vocabulary, so the cross product is |missed| x |aliases per sem_type|.
     * ``"minhash"``: banded MinHash-LSH equi-join — the plan for dictionaries
       too large to broadcast; candidates then verified with exact Jaccard.
+      RECALL CAVEAT: with N_HASHES=16 / N_BANDS=8 (2 rows per band) the
+      LSH s-curve's 50%-recall point sits near Jaccard ~0.35 — pairs with
+      true Jaccard between ``min_jaccard`` and ~0.3 are mostly NOT
+      generated as candidates (e.g. J=0.15: P(any band) = 1-(1-0.15^2)^8
+      ~= 0.17), so switching from ``"broadcast"`` keeps the same verify
+      threshold but silently trades away low-similarity recall. Raise
+      N_BANDS (more bands of fewer rows) to push the curve left if the
+      dictionary needs sub-0.3 matches at LSH scale.
     """
+    strategy = fuzzy  # `fuzzy` is rebound to the candidate frame below
     typed = "sem_type" in surfaces.columns
     surf_cols = ["surface"] + (["sem_type"] if typed else [])
     surf = surfaces.select(*surf_cols).distinct()
@@ -196,7 +210,9 @@ def link_surfaces(
         F.size(F.array_intersect("s_grams", "a_grams"))
         / F.size(F.array_union("s_grams", "a_grams")),
     ).where(F.col("score") >= min_jaccard).select(
-        *surf_cols, "concept_id", "score", F.lit("minhash").alias("method")
+        # method reports the strategy that actually produced the candidate
+        # (was hardcoded 'minhash' even on the broadcast path)
+        *surf_cols, "concept_id", "score", F.lit(strategy).alias("method")
     )
 
     candidates = exact.unionByName(fuzzy)

@@ -108,17 +108,22 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - no PIL in sandbox
 
 
 def decode_payload(kind: str, payload: bytes) -> dict:
-    """STUB decode of the fixture container format (deterministic)."""
+    """STUB decode of the fixture container format (deterministic).
+
+    Length-checked per field: a payload with a valid magic but a TRUNCATED
+    header (real corpora truncate mid-object all the time) must come back
+    ok=False, not raise struct.error out of the Spark task — decode_media's
+    per-row isolation contract depends on this function never raising."""
     if payload is None or len(payload) < 4:
         return {"ok": False}
     magic = payload[:4]
-    if kind == "image" and magic == b"JMIM":
+    if kind == "image" and magic == b"JMIM" and len(payload) >= 8:
         w, h = struct.unpack(">HH", payload[4:8])
         return {"width": w, "height": h, "n_bytes": len(payload), "ok": True}
-    if kind == "audio" and magic == b"JMAU":
+    if kind == "audio" and magic == b"JMAU" and len(payload) >= 8:
         sr, ns = struct.unpack(">HH", payload[4:8])
         return {"sample_rate": sr, "n_bytes": len(payload), "ok": True}
-    if kind == "video" and magic == b"JMVI":
+    if kind == "video" and magic == b"JMVI" and len(payload) >= 6:
         (nf,) = struct.unpack(">H", payload[4:6])
         return {"n_frames": nf, "n_bytes": len(payload), "ok": True}
     return {"ok": False}
@@ -136,7 +141,10 @@ def decode_media(media: "DataFrame") -> "DataFrame":
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                d = decode_payload(kind, payload)
+                try:
+                    d = decode_payload(kind, payload)
+                except Exception:  # per-row isolation: never kill the task
+                    d = {"ok": False}
                 out.append(
                     {
                         "media_id": mid,

@@ -88,7 +88,14 @@ def mod_stage(ner_df: "DataFrame") -> "DataFrame":
         for toks, ner in zip(pdf["tokens"], pdf["ner"]):
             toks = list(toks)
             mod = ["_"] * len(toks)
-            for tag, b, e in bio_to_spans(list(ner)):
+            # per-row isolation, same contract as the joint path: a
+            # malformed BIO tag from a foreign NER checkpoint degrades
+            # THIS sentence to no-spans instead of killing the task
+            try:
+                spans = bio_to_spans(list(ner))
+            except ValueError:
+                spans = []
+            for tag, b, e in spans:
                 mod[e - 1] = t._modality(toks, tag, b, e)
             mods.append(mod)
         out = pdf[["url", "sent_id", "tokens", "ner"]].copy()
@@ -115,7 +122,14 @@ def rel_stage(mod_df: "DataFrame") -> "DataFrame":
             n = len(list(toks))
             rels: list[list[str]] = [[] for _ in range(n)]
             heads: list[list[int]] = [[] for _ in range(n)]
-            for tail, head, rel in relations_for_spans(bio_to_spans(list(ner))):
+            # same per-row degradation as mod_stage: the docstring's "any
+            # NER model's checkpointed output can feed it" must hold for
+            # malformed tags too
+            try:
+                spans = bio_to_spans(list(ner))
+            except ValueError:
+                spans = []
+            for tail, head, rel in relations_for_spans(spans):
                 rels[tail].append(rel)
                 heads[tail].append(head)
             all_rels.append(rels)

@@ -30,6 +30,8 @@ from typing import TYPE_CHECKING
 import pandas as pd
 
 from .concepts import MOD_DICT
+from .textnorm import escape_html as _escape
+from .textnorm import unescape_html as _unescape
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame
@@ -64,13 +66,20 @@ def doc_to_xml(sentences: list[dict]) -> str:
     lines = []
     for s in sentences:
         sid = s["sent_id"]
-        toks = list(s["tokens"])
+        # token text is XML-escaped (tags are inserted between tokens, so
+        # only the text needs it): extract_text UNESCAPES entities, so page
+        # text legitimately contains < > & — emitted raw they would parse
+        # as tags (reproduced: '&lt;/p&gt;' in a page crashed the
+        # round-trip parser with a stack underflow)
+        toks = [_escape(t) for t in s["tokens"]]
         for e in sorted(s["entities"], key=lambda e: e["begin"], reverse=True):
             span = (sid, e["begin"], e["end"])
             t, tag = span2tid[span]
             attrs = f' tid="{t}"'
             if e["mod"] != "_":
-                attrs += f' {MOD_DICT[e["mod"]]}="{e["mod"]}"'
+                # unknown labels (a foreign provider) fall back to a
+                # generic attribute instead of KeyError-ing the document
+                attrs += f' {MOD_DICT.get(e["mod"], "mod")}="{e["mod"]}"'
             self_key = (sid, e["begin"], e["end"], e["begin"], e["end"])
             if self_key in rels:
                 attrs += f' DCT-Rel="{rels[self_key][0]}"'
@@ -101,50 +110,60 @@ def doc_to_xml(sentences: list[dict]) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _rows_to_sentences(pdf: pd.DataFrame) -> list[dict]:
+    """Grouped annotation rows -> the per-sentence dict shape both document
+    writers (doc_to_xml, doc_to_brat) consume — ONE copy of the in-band
+    token decode + detailed-triplet derivation, so the XML and brat exports
+    can never disagree on the same annotations."""
+    from .bio import detailed_triplets
+
+    sentences = []
+    for _, row in pdf.iterrows():
+        # decode in-band tokens for text emit (reference data_objects.py:210)
+        toks = [
+            t.replace("[JASP]", "　").replace("[SEP]", "\n")
+            for t in row["tokens"]
+        ]
+        det = detailed_triplets(
+            list(row["ner"]),
+            [list(x) for x in row["rels"]],
+            [[int(i) for i in x] for x in row["heads"]],
+        )
+        sentences.append(
+            {
+                "sent_id": int(row["sent_id"]),
+                "tokens": toks,
+                "entities": [
+                    {
+                        "tag": e["tag"],
+                        "begin": int(e["begin"]),
+                        "end": int(e["end"]),
+                        "mod": e["mod"],
+                    }
+                    for e in row["entities"]
+                ],
+                "detailed_triples": [
+                    {
+                        "tail_begin": tb,
+                        "tail_end": te,
+                        "head_begin": hb,
+                        "head_end": he,
+                        "rel": rel,
+                    }
+                    for tb, te, hb, he, rel in det
+                ],
+            }
+        )
+    return sentences
+
+
 def annotations_to_xml(annotations: "DataFrame") -> "DataFrame":
     """annotations -> (url, xml) via one grouped Arrow stage."""
-    from .bio import detailed_triplets
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("sent_id")
         url = pdf["url"].iloc[0]
-        sentences = []
-        for _, row in pdf.iterrows():
-            # decode in-band tokens for text emit (reference data_objects.py:210)
-            toks = [
-                t.replace("[JASP]", "　").replace("[SEP]", "\n")
-                for t in row["tokens"]
-            ]
-            det = detailed_triplets(
-                list(row["ner"]),
-                [list(x) for x in row["rels"]],
-                [[int(i) for i in x] for x in row["heads"]],
-            )
-            sentences.append(
-                {
-                    "sent_id": int(row["sent_id"]),
-                    "tokens": toks,
-                    "entities": [
-                        {
-                            "tag": e["tag"],
-                            "begin": int(e["begin"]),
-                            "end": int(e["end"]),
-                            "mod": e["mod"],
-                        }
-                        for e in row["entities"]
-                    ],
-                    "detailed_triples": [
-                        {
-                            "tail_begin": tb,
-                            "tail_end": te,
-                            "head_begin": hb,
-                            "head_end": he,
-                            "rel": rel,
-                        }
-                        for tb, te, hb, he, rel in det
-                    ],
-                }
-            )
+        sentences = _rows_to_sentences(pdf)
         return pd.DataFrame({"url": [url], "xml": [doc_to_xml(sentences)]})
 
     return (
@@ -179,13 +198,12 @@ def doc_to_brat(sentences: list[dict]) -> tuple[str, str]:
     line_start = 0
     eid = mid = rid = 1
     lastchar2eid: dict[int, str] = {}
-    # first pass: text + entities (+ modality)
-    spans_by_sent: dict[int, dict[tuple[int, int], str]] = {}
+    # first pass: text + entities (+ modality); relation anchoring happens
+    # in the second pass via lastchar2eid (span-final char), not span maps
     for s in sentences:
         toks = s["tokens"]
         sent_str = "".join(toks)
         entity_rows = sorted(s["entities"], key=lambda e: e["begin"])
-        spans_by_sent[s["sent_id"]] = {}
         for e in entity_rows:
             b_char = line_start + len("".join(toks[: e["begin"]]))
             e_char = line_start + len("".join(toks[: e["end"]]))
@@ -195,9 +213,12 @@ def doc_to_brat(sentences: list[dict]) -> tuple[str, str]:
                 f"{tid}\t{TAG2NAME.get(e['tag'], e['tag'])} {b_char} {e_char}\t{surface}"
             )
             lastchar2eid[e_char - 1] = tid
-            spans_by_sent[s["sent_id"]][(e["begin"], e["end"])] = tid
             if e["mod"] != "_":
-                ann_lines.append(f"A{mid}\t{MOD_DICT[e['mod']]} {tid} {e['mod']}")
+                # .get: unknown labels (foreign provider) fall back to a
+                # generic attribute family instead of failing the document
+                ann_lines.append(
+                    f"A{mid}\t{MOD_DICT.get(e['mod'], 'mod')} {tid} {e['mod']}"
+                )
                 mid += 1
             eid += 1
         txt_lines.append(sent_str)
@@ -226,40 +247,13 @@ def doc_to_brat(sentences: list[dict]) -> tuple[str, str]:
 
 
 def annotations_to_brat(annotations: "DataFrame") -> "DataFrame":
-    """annotations -> (url, txt, ann) via one grouped Arrow stage."""
-    from .bio import detailed_triplets
+    """annotations -> (url, txt, ann) via one grouped Arrow stage (same
+    shared _rows_to_sentences conversion as the XML export)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("sent_id")
         url = pdf["url"].iloc[0]
-        sentences = []
-        for _, row in pdf.iterrows():
-            toks = [
-                t.replace("[JASP]", "　").replace("[SEP]", "\n")
-                for t in row["tokens"]
-            ]
-            det = detailed_triplets(
-                list(row["ner"]),
-                [list(x) for x in row["rels"]],
-                [[int(i) for i in x] for x in row["heads"]],
-            )
-            sentences.append(
-                {
-                    "sent_id": int(row["sent_id"]),
-                    "tokens": toks,
-                    "entities": [
-                        {"tag": e["tag"], "begin": int(e["begin"]),
-                         "end": int(e["end"]), "mod": e["mod"]}
-                        for e in row["entities"]
-                    ],
-                    "detailed_triples": [
-                        {"tail_begin": tb, "tail_end": te, "head_begin": hb,
-                         "head_end": he, "rel": rel}
-                        for tb, te, hb, he, rel in det
-                    ],
-                }
-            )
-        txt, ann = doc_to_brat(sentences)
+        txt, ann = doc_to_brat(_rows_to_sentences(pdf))
         return pd.DataFrame({"url": [url], "txt": [txt], "ann": [ann]})
 
     return (
@@ -308,13 +302,15 @@ def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
         stack: list[tuple[str, dict, int]] = []
         plain: list[str] = []
         for m in _TAG_RE.finditer(line):
-            plain.append(line[pos : m.start()])
+            # unescape per segment so every recorded length/offset lives in
+            # UNESCAPED (true text) space — the writer's inverse
+            plain.append(_unescape(line[pos : m.start()]))
             pos = m.end()
             if m.group(1):  # closing
                 tag, attrs, start_len = stack.pop()
                 surface = "".join(plain)[start_len:]
                 mod = "_"
-                for fam in ("certainty", "state", "type"):
+                for fam in ("certainty", "state", "type", "mod"):
                     if fam in attrs:
                         mod = attrs[fam]
                 mentions.append(
@@ -338,5 +334,5 @@ def parse_xml_doc(xml: str) -> tuple[list[dict], list[dict]]:
             else:
                 attrs = dict(_ATTR_RE.findall(m.group(3)))
                 stack.append((m.group(2), attrs, len("".join(plain))))
-        plain.append(line[pos:])
+        plain.append(_unescape(line[pos:]))
     return mentions, relations

@@ -117,6 +117,46 @@ def test_xml_multiple_rel_types_same_pair():
     assert 'reltype="region"' in xml and 'reltype="feature"' in xml
 
 
+def test_xml_tag_like_text_roundtrips():
+    """Page text legitimately contains < > & (extract_text unescapes
+    entities); the writer must escape it so the round-trip parser doesn't
+    read it as markup — '</p>' in text used to crash the parser with a
+    stack underflow."""
+    sentences = [
+        {
+            "sent_id": 0,
+            "tokens": ["<", "/", "p", ">", "肺癌", "&", "x"],
+            "entities": [{"tag": "d", "begin": 4, "end": 5, "mod": "_"}],
+            "detailed_triples": [],
+        }
+    ]
+    xml = xml_io.doc_to_xml(sentences)
+    mentions, relations = xml_io.parse_xml_doc(xml)
+    assert [m["surface"] for m in mentions] == ["肺癌"]
+    # begin_char is an offset into the TRUE (unescaped) text
+    assert mentions[0]["begin_char"] == len("</p>")
+
+
+def test_xml_unknown_mod_label_does_not_crash():
+    """A modality label outside MOD_DICT (foreign provider) falls back to a
+    generic attribute family instead of KeyError-ing the document."""
+    sentences = [
+        {
+            "sent_id": 0,
+            "tokens": ["肺癌"],
+            "entities": [{"tag": "d", "begin": 0, "end": 1,
+                          "mod": "uncertain-custom"}],
+            "detailed_triples": [],
+        }
+    ]
+    xml = xml_io.doc_to_xml(sentences)
+    assert 'mod="uncertain-custom"' in xml
+    mentions, _ = xml_io.parse_xml_doc(xml)
+    assert mentions[0]["mod"] == "uncertain-custom"
+    txt, ann = xml_io.doc_to_brat(sentences)
+    assert "mod T1 uncertain-custom" in ann
+
+
 def test_brat_offsets_and_relations(spark, extracted):
     """Brat standoff: char offsets index the .txt exactly; relation rows wire
     span-final anchors; DCT self-loops become A rows (data_objects.py:312-361

@@ -32,6 +32,22 @@ def test_decode_bad_payload_isolated(spark):
     assert len(rows) == 1 and rows[0]["ok"] is False
 
 
+def test_decode_truncated_header_isolated(spark):
+    """A payload with a VALID magic but a truncated header (real corpora
+    truncate mid-object) must come back ok=False — struct.unpack on the
+    short buffer used to raise struct.error out of the Spark task."""
+    rows = spark.createDataFrame(
+        [
+            (1, "image", b"JMIM\x00", (None, None, None, None)),
+            (2, "audio", b"JMAU\x00\x01", (None, None, None, None)),
+            (3, "video", b"JMVI\x00", (None, None, None, None)),
+        ],
+        mm.MEDIA_DDL,
+    )
+    got = mm.decode_media(rows).collect()
+    assert len(got) == 3 and all(r["ok"] is False for r in got)
+
+
 def test_features_shape_and_determinism(spark, media):
     feats = mm.extract_features(media, dim=16)
     rows = feats.collect()

@@ -168,11 +168,20 @@ def test_linking_exact_and_fuzzy(spark, corpus):
 
 
 def test_linking_fuzzy_minhash(spark, corpus):
-    """A surface absent from the alias table links via MinHash candidates."""
+    """A surface absent from the alias table links via MinHash candidates
+    (fuzzy='minhash' requested explicitly — the method column reports the
+    strategy that actually ran; it used to say 'minhash' even on the
+    default broadcast path)."""
     surfaces = spark.createDataFrame([("アスピリン錠剤",)], "surface string")
-    links = link.link_surfaces(surfaces, corpus["concepts"]).collect()
+    links = link.link_surfaces(
+        surfaces, corpus["concepts"], fuzzy="minhash"
+    ).collect()
     assert len(links) == 1
     assert links[0]["method"] == "minhash"
+    # the default path labels its own strategy
+    bl = link.link_surfaces(surfaces, corpus["concepts"]).collect()
+    assert len(bl) == 1 and bl[0]["method"] == "broadcast"
+    assert bl[0]["concept_id"] == links[0]["concept_id"]
     aspirin = (
         corpus["concepts"].where(F.col("canonical") == "アスピリン").first()["concept_id"]
     )

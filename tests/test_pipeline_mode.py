@@ -33,3 +33,23 @@ def test_stages_are_individually_runnable(spark, joint):
     mod = pipeline_mode.mod_stage(ner)
     assert mod.columns == ["url", "sent_id", "tokens", "ner", "mod"]
     assert mod.where(F.array_contains("mod", "positive")).count() > 0
+
+
+def test_staged_pipeline_isolates_malformed_bio(spark):
+    """The staged path's contract — 'any NER model's checkpointed output
+    can feed it' — must hold for malformed tags too: a bad BIO tag
+    degrades that sentence to no-spans instead of killing the task (the
+    joint path's per-unit isolation, mirrored)."""
+    bad = spark.createDataFrame(
+        [
+            ("u1", 0, ["肺癌", "あり"], ["B-d", "X-d"]),   # malformed
+            ("u1", 1, ["骨折", "あり"], ["B-d", "O"]),     # fine
+        ],
+        "url string, sent_id int, tokens array<string>, ner array<string>",
+    )
+    mod = pipeline_mode.mod_stage(bad)
+    rows = {r["sent_id"]: r for r in mod.collect()}
+    assert rows[0]["mod"] == ["_", "_"]          # degraded, not crashed
+    assert rows[1]["mod"][0] != "_"              # healthy row unaffected
+    full = pipeline_mode.rel_stage(mod)
+    assert full.count() == 2                     # rel stage survives too
