@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import pandas as pd
-from pyspark.sql import functions as F
 
 from .textnorm import IDEOGRAPHIC_SPACE, JASP, SEP
 

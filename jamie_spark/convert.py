@@ -22,7 +22,7 @@ Semantics:
 
 from __future__ import annotations
 
-from bisect import bisect_left
+from bisect import bisect_left, bisect_right
 from typing import TYPE_CHECKING
 
 import pandas as pd
@@ -39,9 +39,13 @@ if TYPE_CHECKING:  # pragma: no cover
 def xml_doc_to_conll(url: str, xml: str) -> str:
     """One annotated-XML document -> multihead CONLL text."""
     mentions, relations = xml_io.parse_xml_doc(xml)
-    # plain sentence text = xml lines with tags stripped
+    # plain sentence text = xml lines with tags stripped, then UNESCAPED —
+    # parse_xml_doc reports surface/begin_char in unescaped (true-text)
+    # space, so the offset walk below must live there too (tag-strip first
+    # is safe: the writer escapes per token, so an entity never spans a
+    # tag boundary and no false '&'+'amp;' adjacency can form)
     plain_lines = [
-        xml_io._TAG_RE.sub("", line)
+        xml_io._unescape(xml_io._TAG_RE.sub("", line))
         for line in xml.strip().split("\n")
         if not line.startswith(("<brel", "<trel"))
     ]
@@ -77,9 +81,16 @@ def xml_doc_to_conll(url: str, xml: str) -> str:
             continue
         toks = sents[sid]
         starts = _token_starts(sid)
-        if m["begin_char"] not in starts:
+        if not starts:
             continue
-        begin_tok = starts.index(m["begin_char"])
+        # snap a mid-token begin to its CONTAINING token — symmetric with
+        # the end-boundary widening below. Foreign corpora (the converter's
+        # whole point) follow their own morphology; an exact-start-only
+        # match silently dropped any entity whose begin fell inside one of
+        # this tokenizer's maximal char-class runs.
+        begin_tok = bisect_right(starts, m["begin_char"]) - 1
+        if begin_tok < 0:
+            continue
         # span end by CHAR OFFSET, not by summing token lengths: the surface
         # is a raw-text slice that may contain whitespace the tokenizer
         # dropped, so length-walking tokens would overshoot past the span

@@ -14,7 +14,8 @@ The real-model path plugs in behind the same ``annotate_sentence`` signature
 
 Decode semantics preserved from the reference:
 
-* NER: longest dictionary match, left-to-right, up to 3 tokens -> BIO tags.
+* NER: longest dictionary match, left-to-right, horizon = the
+  dictionary's longest tokenized alias -> BIO tags.
 * modality attaches to the span-final token (reference
   ``data_objects.py:226-229``); non-final tokens carry ``'_'``.
 * relations are (tail_last_tok -> head_last_tok, label) multihead lists on the
@@ -28,8 +29,8 @@ the reference model scoring ~1.0 on its own training distribution):
 * certainty of a disease: ``疑`` in the 6 tokens after the span ->
   ``suspicious``; a token starting ``められない``/``ない`` -> ``negative``;
   else ``positive``.
-* state of a drug: ``予定`` after the span -> ``scheduled``; else if ``投与``
-  -> ``executed``.
+* state of a drug: ``予定`` after the span -> ``scheduled``; else
+  ``executed`` (with or without an explicit ``投与`` cue).
 * TIMEX3 modality is the dictionary type (DATE/TIME/DURATION/AGE).
 * relations per sentence: every d -> every a (``region``); every d -> every
   TIMEX3 (``timeOnset``); every t-val -> nearest preceding t-key (``value``);
@@ -42,8 +43,6 @@ from . import concepts
 from .tokenizer import tokenize
 
 MODEL_VERSION = "standin-dict-1"
-
-_MAX_MATCH_TOKENS = 4
 
 
 class StandInJointExtractor:
@@ -59,6 +58,10 @@ class StandInJointExtractor:
         self._dict: dict[tuple[str, ...], str] = {}
         for surface, tag in concepts.surface_tag_pairs():
             self._dict[tuple(tokenize(surface))] = tag
+        # match horizon DERIVED from the dictionary: a hardcoded cap would
+        # silently make any longer future surface unmatchable (the old
+        # constant 4 happened to equal today's longest alias)
+        self._max_match = max((len(k) for k in self._dict), default=1)
         self._time_type = dict(concepts.TIMES)
         # the SAME WordPiece vocabulary the compiled numpy checkpoint uses:
         # the reference packs doc-mode trunks and gates T12 by SUBWORD count
@@ -80,7 +83,7 @@ class StandInJointExtractor:
         n = len(tokens)
         while i < n:
             hit = None
-            for width in range(min(_MAX_MATCH_TOKENS, n - i), 0, -1):
+            for width in range(min(self._max_match, n - i), 0, -1):
                 key = tuple(tokens[i : i + width])
                 if key in self._dict:
                     hit = (self._dict[key], i, i + width)
@@ -106,10 +109,12 @@ class StandInJointExtractor:
                     return "negative"
             return "positive"
         if tag == "r":
+            # grammar: 予定 in the window -> scheduled; anything else
+            # (投与 or no cue at all) -> executed. The old explicit 投与
+            # branch was dead — it returned the same value as the
+            # fallback — and read as if a third outcome existed.
             if any("予定" in t for t in window):
                 return "scheduled"
-            if any("投与" in t for t in window):
-                return "executed"
             return "executed"
         if tag == "TIMEX3":
             return self._time_type.get("".join(tokens[begin:end]), "DATE")

@@ -64,6 +64,13 @@ _GUARDS = (
 
 
 def guard_escapes(text: str) -> str:
+    """Reference-parity helper (T4, reference utils.py:315-332): rewrite
+    tag-like runs so downstream markup stays parseable. NOT on the default
+    path — this engine's XML writer escapes properly on emit
+    (xml_io._escape) and round-trips losslessly, which supersedes the
+    guard's lossy rewrite. If a caller ever wires it in, it must run
+    AFTER zen_to_han (the normalizer maps the guard's full-width ＞ back
+    to '>', undoing it)."""
     for old, new in _GUARDS:
         text = text.replace(old, new)
     return text

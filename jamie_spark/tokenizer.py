@@ -28,9 +28,14 @@ from __future__ import annotations
 
 from .textnorm import IDEOGRAPHIC_SPACE, JASP
 
-TOKENIZER_VERSION = "jamie-spark-tok-1"
+TOKENIZER_VERSION = "jamie-spark-tok-2"  # tok-2: ASCII !? end sentences
 
-_SENT_END = ("。", "！", "？")
+# both widths of !/?: the pipeline normalizes width BEFORE splitting
+# (infer applies zen_to_han first), so the full-width forms alone would
+# never fire on the real path — '痛い！頭痛あり。' merged into ONE
+# sentence, letting the per-sentence relation rules fire across what
+# should be a boundary (spurious triples)
+_SENT_END = ("。", "！", "？", "!", "?")
 
 
 def split_sentences(text: str) -> list[str]:

@@ -30,8 +30,23 @@ from typing import TYPE_CHECKING
 import pandas as pd
 
 from .concepts import MOD_DICT
-from .textnorm import escape_html as _escape
-from .textnorm import unescape_html as _unescape
+from .textnorm import escape_html, unescape_html
+
+
+def _escape(text: str) -> str:
+    """Token text -> XML-safe: HTML-escape, then encode real newlines as
+    &#10; (a doc-mode token can contain a decoded [SEP] newline; emitted
+    raw it would split the line-oriented format and crash the parser).
+    Order matters: escaping & first means a LITERAL '&#10;' in text
+    becomes '&amp;#10;', which contains no '&#10;' substring — so the
+    decode below can never confuse the two."""
+    return escape_html(text).replace("\n", "&#10;")
+
+
+def _unescape(text: str) -> str:
+    """Inverse of _escape: decode &#10; first (safe per above), then the
+    HTML entities."""
+    return unescape_html(text.replace("&#10;", "\n"))
 
 if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import DataFrame

@@ -137,6 +137,45 @@ def test_xml_tag_like_text_roundtrips():
     assert mentions[0]["begin_char"] == len("</p>")
 
 
+def test_xml_to_conll_unescapes_entities():
+    """xml2conll must unescape the tag-stripped lines: parse_xml_doc
+    reports begin_char in UNESCAPED space, so an escaped '&' earlier in
+    the line used to shift every later offset, silently dropping the
+    entity and leaking literal '&amp;' into the CONLL tokens."""
+    from jamie_spark import convert
+
+    sentences = [
+        {
+            "sent_id": 0,
+            "tokens": ["A&B", "に", "頭痛"],
+            "entities": [{"tag": "d", "begin": 2, "end": 3, "mod": "_"}],
+            "detailed_triples": [],
+        }
+    ]
+    xml = xml_io.doc_to_xml(sentences)
+    conll_text = convert.xml_doc_to_conll("u", xml)
+    assert "amp" not in conll_text
+    assert "B-d" in conll_text  # the entity survived the round trip
+
+
+def test_xml_newline_in_token_roundtrips():
+    """A doc-mode token containing a decoded [SEP] newline must not split
+    the line-oriented XML — emitted raw it crashed the parser with a
+    stack underflow; it is encoded as &#10; and decoded on parse."""
+    sentences = [
+        {
+            "sent_id": 0,
+            "tokens": ["頭\n痛", "あり"],
+            "entities": [{"tag": "d", "begin": 0, "end": 1, "mod": "_"}],
+            "detailed_triples": [],
+        }
+    ]
+    xml = xml_io.doc_to_xml(sentences)
+    assert "\n頭" not in xml.split("\n")[0]  # no raw newline inside line 0
+    mentions, _ = xml_io.parse_xml_doc(xml)
+    assert [m["surface"] for m in mentions] == ["頭\n痛"]
+
+
 def test_xml_unknown_mod_label_does_not_crash():
     """A modality label outside MOD_DICT (foreign provider) falls back to a
     generic attribute family instead of KeyError-ing the document."""

@@ -75,6 +75,21 @@ def test_split_sentences():
     assert split_sentences("A。B！\nC") == ["A。", "B！", "C"]
 
 
+def test_split_sentences_after_width_normalization():
+    """The pipeline normalizes width BEFORE splitting (infer applies
+    zen_to_han first), so ASCII !/? must end sentences too — full-width
+    ！？ alone never fire on the real path. Regression: '痛い！頭痛あり。'
+    came back as ONE sentence, merging sentence ids and letting the
+    per-sentence relation rules fire across the boundary."""
+    from jamie_spark.textnorm import zen_to_han
+
+    assert split_sentences(zen_to_han("痛い！頭痛あり。")) == [
+        "痛い!",
+        "頭痛あり。",
+    ]
+    assert split_sentences("ok?next。") == ["ok?", "next。"]
+
+
 def test_tokenize_char_classes():
     assert tokenize("左肺に肺癌を認める。") == ["左肺", "に", "肺癌", "を", "認", "める", "。"]
     assert tokenize("血圧は120mmHgであった。") == ["血圧", "は", "120mmHg", "であった", "。"]
