@@ -33,14 +33,18 @@ from .concepts import MOD_DICT
 from .textnorm import escape_html, unescape_html
 
 
-def _escape(text: str) -> str:
-    """Token text -> XML-safe: HTML-escape, then encode real newlines as
-    &#10; (a doc-mode token can contain a decoded [SEP] newline; emitted
-    raw it would split the line-oriented format and crash the parser).
-    Order matters: escaping & first means a LITERAL '&#10;' in text
-    becomes '&amp;#10;', which contains no '&#10;' substring — so the
-    decode below can never confuse the two."""
-    return escape_html(text).replace("\n", "&#10;")
+def _escape(text: str, in_entity: bool = False) -> str:
+    """Token text -> XML-safe: HTML-escape; additionally encode real
+    newlines as &#10; when the token sits INSIDE an entity span (a
+    doc-mode token can be a decoded [SEP] newline — BETWEEN entities it
+    must stay a real newline, that is the doc-mode line structure; inside
+    an entity it would split the span across lines and crash the
+    line-oriented parser with a stack underflow). Order matters: escaping
+    & first means a LITERAL '&#10;' in text becomes '&amp;#10;', which
+    contains no '&#10;' substring — so the decode can never confuse the
+    two."""
+    out = escape_html(text)
+    return out.replace("\n", "&#10;") if in_entity else out
 
 
 def _unescape(text: str) -> str:
@@ -85,8 +89,15 @@ def doc_to_xml(sentences: list[dict]) -> str:
         # only the text needs it): extract_text UNESCAPES entities, so page
         # text legitimately contains < > & — emitted raw they would parse
         # as tags (reproduced: '&lt;/p&gt;' in a page crashed the
-        # round-trip parser with a stack underflow)
-        toks = [_escape(t) for t in s["tokens"]]
+        # round-trip parser with a stack underflow). Newlines are encoded
+        # only INSIDE entity spans — see _escape.
+        covered = set()
+        for e in s["entities"]:
+            covered.update(range(e["begin"], e["end"]))
+        toks = [
+            _escape(t, in_entity=(i in covered))
+            for i, t in enumerate(s["tokens"])
+        ]
         for e in sorted(s["entities"], key=lambda e: e["begin"], reverse=True):
             span = (sid, e["begin"], e["end"])
             t, tag = span2tid[span]
