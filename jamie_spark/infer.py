@@ -328,6 +328,23 @@ def _make_annotate_batches(mode: str, spec: str):
     return _annotate_batches
 
 
+#: columns shipped into the python workers. ``_iter_page_units`` reads html
+#: ONLY as the extract_text fallback for pages with no ``text`` (the
+#: ``text if text else extract_text(html)`` gate), so html is nulled
+#: JVM-side whenever text is populated: on a crawl table whose text column
+#: is already extracted, the raw-html bytes — the widest column by far
+#: (10-100KB/page on real WARC data vs ~100B of text here) — never enter
+#: the Arrow transfer or the pandas heap. Pages missing text still carry
+#: their html through to the fallback unchanged.
+def _page_cols():
+    return (
+        "url",
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.col("html"))
+         .alias("html"),
+        "text",
+    )
+
+
 def annotate_pages(
     pages: "DataFrame", lang: str = "ja", mode: str = "sentence",
     model_spec: str | None = None,
@@ -349,7 +366,7 @@ def annotate_pages(
     deeply nested arrays through pandas->Arrow measured ~4x slower than the
     flat Arrow-native stage and throttled scaling.
     """
-    filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
+    filtered = pages.where(F.col("lang") == lang).select(*_page_cols())
     return filtered.mapInPandas(
         _make_annotate_batches(mode, _resolve_model_spec(model_spec)),
         schema=ANNOTATIONS_DDL,
@@ -434,7 +451,7 @@ def annotate_pages_flat(
     """pages -> flat mention/triple rows (production hot path, mapInArrow).
 
     ``mode`` / ``model_spec`` as in :func:`annotate_pages`."""
-    filtered = pages.where(F.col("lang") == lang).select("url", "html", "text")
+    filtered = pages.where(F.col("lang") == lang).select(*_page_cols())
     return filtered.mapInArrow(
         _make_flat_arrow_batches(mode, _resolve_model_spec(model_spec)),
         schema=FLAT_DDL,
