@@ -359,6 +359,30 @@ def test_run_kg_html_only_pages(spark, corpus):
     assert a.count() == b.count() > 0
 
 
+def test_annotate_ships_html_only_without_text(spark, corpus):
+    """The annotate input projection nulls html JVM-side whenever text is
+    populated (html is read ONLY by the extract_text fallback), so the
+    widest crawl column never crosses the Arrow boundary for pages whose
+    text is already extracted — and a MIXED corpus (half the pages
+    text-less) still produces exactly the full-text corpus's triples."""
+    mixed = corpus["pages"].withColumn(
+        "text",
+        F.when(F.crc32(F.col("url")) % 2 == 0, F.col("text")),
+    )
+    shipped = mixed.select(*infer._page_cols())
+    kept = shipped.where(F.col("html").isNotNull()).count()
+    textless = mixed.where(
+        F.col("text").isNull() | (F.col("text") == "")
+    ).count()
+    assert 0 < kept < mixed.count()   # the split actually exercises both arms
+    assert kept == textless           # html survives ONLY for the fallback rows
+    a = pipeline.run_kg(mixed, corpus["concepts"])["canonical_triples"]
+    b = pipeline.run_kg(corpus["pages"], corpus["concepts"])["canonical_triples"]
+    key = ["url", "sent_id", "subj_surface", "pred", "obj_surface"]
+    assert a.select(*key).exceptAll(b.select(*key)).count() == 0
+    assert a.count() == b.count() > 0
+
+
 def test_lineage_model_swap_invalidates(spark, corpus, tmp_path):
     """A different model_version must rerun buckets, not skip them."""
     from jamie_spark import lineage as lin, models
