@@ -3363,9 +3363,11 @@ t AS (
       AND b.pos > a.pos AND b.pos - a.pos <= 3
 ),
 ent AS (
-    -- ALL entities (heads + tails), mirroring kgstats.negative_sample
+    -- ALL entities (heads + tails), ranked along the md5(entity) walk —
+    -- the engine's two-phase prefix-sum order (bucket = md5 prefix, so
+    -- ORDER BY md5, entity replays it exactly)
     SELECT e AS neg_obj,
-           CAST(row_number() OVER (ORDER BY e) - 1 AS BIGINT) AS rk
+           CAST(row_number() OVER (ORDER BY md5(e), e) - 1 AS BIGINT) AS rk
     FROM (SELECT subj AS e FROM t UNION SELECT obj FROM t)
 ),
 nv AS (SELECT COUNT(*) AS n FROM ent),

@@ -634,17 +634,21 @@ def negative_sample(
     runs, partitionings, and engines, and the driver oracle replays it
     exactly.
 
-    Scale shape: the entity vocabulary is ranked ONCE with a global sort —
-    vocab-sized (the entity dictionary), not corpus-sized, and at
-    production scale a materialize-once artifact like the concept
-    dictionary. The per-corpus work is an equi-join of candidates on the
-    slot key (plain shuffle join, no broadcast assumption — a web-KG
-    vocab can exceed broadcast limits) and a left-anti join against the
-    positive set. ``n_entities`` skips the vocab count when the caller
-    already knows it (same contract as sim's ``n_rows``).
+    Scale shape: the entity vocabulary gets a dense 0-based rank along the
+    md5(entity) walk via the shared two-phase md5-prefix prefix sum
+    (textstats._md5_walk_cumsum with unit weights) — a web-KG entity vocab
+    GROWS with the corpus (every canonicalized surface is a node), so a
+    bare ``row_number() OVER (ORDER BY entity)`` would funnel the whole
+    vocabulary through ONE window task: the exact single-reducer sort the
+    token_budget_sample fix removed. The walk rank is just as
+    deterministic (ORDER BY md5(entity), entity — the oracle replays it
+    verbatim) and every partition stays 1/256th of the vocab. The
+    per-corpus work is an equi-join of candidates on the slot key (plain
+    shuffle join, no broadcast assumption — a web-KG vocab can exceed
+    broadcast limits) and a left-anti join against the positive set.
+    ``n_entities`` skips the vocab count when the caller already knows it
+    (same contract as sim's ``n_rows``).
     """
-    from pyspark.sql import Window
-
     t = triples.select("subj", "pred", "obj").distinct()
     if k <= 0:
         # k=0 means "no negatives", not sequence(0, -1) — Spark's sequence
@@ -666,9 +670,19 @@ def negative_sample(
     )
     if n_entities is None:
         n_entities = ent.count()
-    ent_rk = ent.select(
-        F.col("obj").alias("neg_obj"),
-        (F.row_number().over(Window.orderBy("obj")) - 1).alias("rk"),
+    from . import textstats
+
+    ent_d = ent.select(F.col("obj").alias("doc_id"))
+    ranked = textstats._md5_walk_cumsum(
+        ent_d,
+        [],
+        weights=ent_d.select(
+            "doc_id", F.lit(1).cast("long").alias("n_tokens")
+        ),
+    )
+    ent_rk = ranked.select(
+        F.col("doc_id").alias("neg_obj"),
+        (F.col("cum_tokens") - 1).alias("rk"),
     )
     cand = t.select(
         "subj",

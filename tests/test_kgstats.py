@@ -508,6 +508,51 @@ def test_negative_sample_k_zero_is_empty(spark):
     assert out.count() == 0
 
 
+def test_negative_sample_rank_two_phase_scale_shape(spark):
+    """The entity-vocab rank must ride the shared two-phase md5-prefix
+    prefix sum, not a global ORDER BY window — a web-KG vocab grows with
+    the corpus, so a bare row_number() OVER (ORDER BY entity) is the same
+    single-reducer sort the token_budget fix removed. Assert the rank is
+    the md5-walk position (semantics) and that every window in the plan
+    partitions by the bucket column (shape)."""
+    import contextlib
+    import hashlib
+    import io
+
+    rows = [(f"s{i}", "p", f"o{(i * 7) % 40}") for i in range(120)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = kgstats.negative_sample(t, k=2)
+    # reference semantics: slot -> entity along the md5(entity) walk
+    pos = set(rows)
+    vocab = sorted(
+        {s for s, _, _ in rows} | {o for _, _, o in rows},
+        key=lambda e: (hashlib.md5(e.encode()).hexdigest(), e),
+    )
+    exp = set()
+    for s, p, o in set(rows):
+        for i in range(2):
+            h = hashlib.md5(f"{s}|{p}|{o}|{i}".encode()).hexdigest()
+            neg = vocab[int(h[:15], 16) % len(vocab)]
+            if (s, p, neg) not in pos:
+                exp.add((s, p, neg, i))
+    got = {
+        (r["subj"], r["pred"], r["neg_obj"], r["sample_idx"])
+        for r in out.collect()
+    }
+    assert got == exp and got
+    # plan shape: every window partitions by the md5-prefix bucket _b
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(True)
+    wins = [
+        ln
+        for ln in buf.getvalue().splitlines()
+        if "windowspecdefinition" in ln
+    ]
+    assert wins, "rank window not found in plan"
+    assert all("_b#" in ln for ln in wins), wins
+
+
 def test_pagerank_weighted_unit_weights_equal_fixed(spark):
     """With every weight = 1 on a distinct-edge graph the weighted
     recurrence degenerates to pagerank_fixed exactly — bit-identical."""
