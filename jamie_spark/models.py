@@ -108,17 +108,19 @@ class BatchedJointExtractor:
     # -- shared encode -------------------------------------------------------
 
     def _subwords(self, tokens: list[str]) -> tuple[list[str], list[int]]:
-        """Word tokens -> (de-UNK'd subwords, word id per subword)."""
-        from .subword import UNK
+        """Word tokens -> (de-UNK'd subwords, word id per subword).
 
-        sbw: list[str] = []
-        word_ids: list[int] = []
-        for wid, tok in enumerate(tokens):
-            pieces = self._wordpiece(tok) or [UNK]
-            pieces = [tok if p == UNK else p for p in pieces]  # de-UNK (T6)
-            sbw.extend(pieces)
-            word_ids.extend([wid] * len(pieces))
-        return sbw, word_ids
+        Delegates to the test-pinned T5/T6 helpers (subword.py) with the
+        subclass ``_wordpiece`` hook as the piecer — ONE implementation of
+        the alignment invariants, shared by the reference-parity tests and
+        every production provider. An empty piece list falls back to [UNK]
+        so de-UNK restores the original surface."""
+        from .subword import UNK, restore_unk, tokenize_subwords
+
+        sbw, word_ids = tokenize_subwords(
+            tokens, piecer=lambda t: self._wordpiece(t) or [UNK]
+        )
+        return restore_unk(sbw, word_ids, tokens), word_ids
 
     # -- shared decode -------------------------------------------------------
 
@@ -137,34 +139,48 @@ class BatchedJointExtractor:
         (sbwner2ner), modality from its LAST (sbwmod2mod), relation anchors
         from the LAST subword of the model's entity index lists with the
         [CLS] offset removed (sbwrel2head, offset=-1).
+
+        The word-level collapse itself is the test-pinned T10 helper
+        (subword.collapse_to_words); this wrapper owns only what the frame
+        adds: stripping [CLS]/[SEP], padding short model rows (defensive
+        "O"/"_" for providers that return truncated tag rows), converting
+        the model's triplet dicts to per-subword relation lists anchored at
+        the subject's LAST subword, and dropping triplets anchored on frame
+        positions or out of range.
         """
-        total = n_words + 2
-        ner = ["O"] * total
-        mod = ["_"] * total
-        seen: set[int] = set()
-        for i, wid in enumerate(full_word_ids):
-            if wid not in seen:
-                seen.add(wid)
-                ner[wid] = sbw_ner[i] if i < len(sbw_ner) else "O"
-            if i < len(sbw_mod):
-                mod[wid] = sbw_mod[i]
-        rels: list[list[str]] = [[] for _ in range(n_words)]
-        heads: list[list[int]] = [[] for _ in range(n_words)]
+        from .subword import collapse_to_words
+
+        inner = len(full_word_ids) - 2  # subword count without [CLS]/[SEP]
+        word_ids = [full_word_ids[i] - 1 for i in range(1, inner + 1)]
+        in_ner = [
+            sbw_ner[i] if i < len(sbw_ner) else "O"
+            for i in range(1, inner + 1)
+        ]
+        in_mod = [
+            sbw_mod[i] if i < len(sbw_mod) else "_"
+            for i in range(1, inner + 1)
+        ]
+        sbw_rels: list[list[str]] = [[] for _ in range(inner)]
+        sbw_heads: list[list[int]] = [[] for _ in range(inner)]
         for t in rel_triplets:
             if t["predicate"] == "N" or not t["subject"] or not t["object"]:
                 continue
-            s_last, o_last = t["subject"][-1], t["object"][-1]
-            if not (0 <= s_last < len(full_word_ids)):
-                continue
-            if not (0 <= o_last < len(full_word_ids)):
-                continue
-            w_tail = full_word_ids[s_last] - 1
-            w_head = full_word_ids[o_last] - 1
-            if 0 <= w_tail < n_words and 0 <= w_head < n_words:
-                if (t["predicate"], w_head) not in zip(rels[w_tail], heads[w_tail]):
-                    rels[w_tail].append(t["predicate"])
-                    heads[w_tail].append(w_head)
-        return ner[1:-1], mod[1:-1], rels, heads
+            s_in, o_in = t["subject"][-1] - 1, t["object"][-1] - 1
+            if 0 <= s_in < inner and 0 <= o_in < inner:
+                sbw_rels[s_in].append(t["predicate"])
+                sbw_heads[s_in].append(o_in)
+        _, ner, mod, rels, heads = collapse_to_words(
+            [""] * inner, word_ids, in_ner, in_mod, sbw_rels, sbw_heads
+        )
+        # word_ids can end short of n_words when the model row truncated;
+        # pad the word-level rows to the sentence's true length
+        if len(ner) < n_words:
+            pad = n_words - len(ner)
+            ner += ["O"] * pad
+            mod += ["_"] * pad
+            rels += [[] for _ in range(pad)]
+            heads += [[] for _ in range(pad)]
+        return ner, mod, rels, heads
 
     def annotate_batch(
         self, batch_tokens: list[list[str]]

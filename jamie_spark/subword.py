@@ -72,13 +72,20 @@ def subword_count(tokens: list[str], vocab: set[str]) -> int:
 
 
 def tokenize_subwords(
-    tokens: list[str], vocab: set[str]
+    tokens: list[str], vocab: set[str] | None = None, piecer=None
 ) -> tuple[list[str], list[int]]:
-    """Word tokens -> (subwords, word_id per subword). T5 + alignment ids."""
+    """Word tokens -> (subwords, word_id per subword). T5 + alignment ids.
+
+    ``piecer`` substitutes a custom per-token subword function (e.g. a real
+    HF tokenizer hook) for the pinned WordPiece — the parameterization that
+    lets the production extractors (models.BatchedJointExtractor._subwords)
+    share this exact implementation."""
+    if piecer is None:
+        piecer = lambda t: wordpiece(t, vocab)  # noqa: E731
     sbw: list[str] = []
     word_ids: list[int] = []
     for wid, tok in enumerate(tokens):
-        pieces = wordpiece(tok, vocab)
+        pieces = piecer(tok)
         sbw.extend(pieces)
         word_ids.extend([wid] * len(pieces))
     return sbw, word_ids
@@ -148,7 +155,7 @@ def collapse_to_words(
 
     for i, (piece, wid) in enumerate(zip(subwords, word_ids)):
         frag = piece[2:] if piece.startswith("##") else piece
-        if not tokens[wid]:
+        if i == 0 or word_ids[i - 1] != wid:  # first subword of the word
             ner[wid] = sbw_ner[i]
         tokens[wid] += frag
         is_last = i + 1 == len(word_ids) or word_ids[i + 1] != wid
