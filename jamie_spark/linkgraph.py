@@ -206,6 +206,7 @@ def crawl_frontier(
     per_host_quota: int,
     iters: int = 5,
     url_col: str = "url",
+    links: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(url, host, rank_fp, slot) — the crawl scheduler's next-fetch list:
     outbound link targets NOT yet crawled, gated to the top-K hosts by
@@ -229,8 +230,14 @@ def crawl_frontier(
 
     # links feeds BOTH the rank side (host_graph -> pagerank) and the
     # candidate side; without the persist the full-corpus HTML regexp
-    # extraction — the dominant cost at crawl scale — would run twice
-    links = extract_links(pages, url_col=url_col).persist()
+    # extraction — the dominant cost at crawl scale — would run twice.
+    # The persist pins one cache entry per call (the link_surfaces
+    # lesson): a scheduler LOOP re-deriving the frontier every cycle
+    # must pass its own ``links`` (own lifecycle — persist/checkpoint and
+    # unpersist between cycles) instead of letting each call pin a fresh
+    # copy of the full-corpus extraction.
+    if links is None:
+        links = extract_links(pages, url_col=url_col).persist()
     hg = host_graph(links)
     # WEIGHTED rank: the distinct-edge skeleton ties hosts that differ
     # 10x in citation count (measured on the extracted fixture graph —
