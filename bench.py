@@ -383,6 +383,60 @@ def main() -> None:
             }
         )
 
+        # link-tier scale stress (r5): the REAL extraction path — the
+        # codegen'd <a> scan + URL canonicalization regex chain over raw
+        # html at stress_docs pages (the graph stress above uses synthetic
+        # Zipf edges; this measures the tier that PRODUCES edges), then the
+        # host rollup shuffle over the extracted multigraph, weighted
+        # PageRank on it, and one frontier derivation reusing the cached
+        # extraction (crawl_frontier's `links` input — the per-cycle
+        # scheduler shape), whose cost is the corpus-sized candidate
+        # distinct + anti-join + quota prefix sum.
+        from jamie_spark import linkgraph
+
+        spark.catalog.clearCache()
+        lpages = fixtures.pages_df_distributed(
+            spark, stress_docs, seed=77, n_partitions=cpus
+        ).persist()
+        lpages.count()
+        t = time.perf_counter()
+        links = linkgraph.extract_links(lpages).persist()
+        n_links = links.count()
+        timings["link_stress_extract"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        hg = linkgraph.host_graph(links).persist()
+        n_host_pairs = hg.count()
+        timings["link_stress_hostgraph"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        kgstats.pagerank_weighted(
+            hg.select(
+                SF.col("src_host").alias("src"),
+                SF.col("dst_host").alias("dst"),
+                SF.col("n_links").alias("w"),
+            ),
+            iters=3,
+        ).count()
+        timings["link_stress_pagerank"] = round(time.perf_counter() - t, 3)
+        t = time.perf_counter()
+        n_frontier = linkgraph.crawl_frontier(
+            lpages, top_hosts=10, per_host_quota=1000, iters=3, links=links
+        ).count()
+        timings["link_stress_frontier"] = round(time.perf_counter() - t, 3)
+        hg.unpersist()
+        links.unpersist()
+        lpages.unpersist()
+        for k in ("link_stress_extract", "link_stress_hostgraph",
+                  "link_stress_pagerank", "link_stress_frontier"):
+            spread[k] = [timings[k], timings[k]]
+        stress.update(
+            {
+                "link_pages": stress_docs,
+                "link_edges_extracted": n_links,
+                "link_host_pairs": n_host_pairs,
+                "link_frontier_urls": n_frontier,
+            }
+        )
+
     # streaming-ingest stress (run once): the production loop —
     # stream_kg_dedup micro-batches near-dup against the persisted
     # signature store before extraction. 4 equal batches where batches 2-4
