@@ -324,3 +324,60 @@ def test_crawl_frontier_semantics(spark):
     assert {(r["url"], r["host"], r["slot"]) for r in rows} == {
         (r["url"], r["host"], r["slot"]) for r in ref.collect()
     }
+
+
+def test_normalize_url_idempotent_on_adversarial_urls(spark):
+    """The canonical form must be a FIXED POINT of normalize_url — a crawl
+    pipeline normalizes at extraction AND again on the crawled side of the
+    frontier anti-join, so normalize(normalize(u)) != normalize(u) would
+    make already-canonical urls re-enter the frontier forever. Exercises
+    every rule interaction the regex subset can meet: fragments inside
+    queries, repeated '?', mixed-case schemes/hosts, default and explicit
+    ports, userinfo-looking prefixes, tracking params in every position,
+    empty/bare paths and queries, multi-slash tails."""
+    urls = [
+        "https://Example.COM/a",
+        "HTTPS://EXAMPLE.COM:443/A//#frag?notquery",
+        "http://h:80/",
+        "http://h:8080//x///",
+        "https://h",
+        "https://h/?",
+        "https://h/p?utm_source=a&b=1&ref=x&fbclid=z",
+        "https://h/p?utm_source=a&utm_medium=b",
+        "https://h/p?a=1?b=2#c",
+        "https://h/p?next=https://other.test/q?r=1",
+        "https://user:pass@h/secret",
+        "https://h:443/p?gclid=1&keep=2&",
+        "http://MIXED.Host:80/Path/#",
+        "https://h/p///?ref=only#f",
+        "https://h/#",
+        "https://h/p?&&b=2",
+        "http://h:081/p",
+        "https://h./p",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = linkgraph.normalize_url(F.col("url")).alias("n1")
+    out = df.select(
+        "url",
+        once,
+        linkgraph.normalize_url(linkgraph.normalize_url(F.col("url"))).alias(
+            "n2"
+        ),
+        linkgraph.url_host(F.col("url")).alias("h_raw"),
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"], (r["url"], r["n1"], r["n2"])
+        # canonical outputs never carry fragments or tracking params
+        assert "#" not in r["n1"], r
+        assert "utm_" not in r["n1"] and "fbclid" not in r["n1"], r
+        assert "gclid" not in r["n1"] and "ref=" not in r["n1"], r
+        # host survives canonicalization (lowercased)
+        assert linkgraph_host_py(r["n1"]) in ("", r["h_raw"]), r
+
+
+def linkgraph_host_py(url: str) -> str:
+    """Pure-python twin of url_host for assertion bookkeeping only."""
+    import re
+
+    m = re.match(r"^[^:/?#]+://([^/:?#]+)", url)
+    return m.group(1).lower() if m else ""
