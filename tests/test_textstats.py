@@ -511,3 +511,35 @@ def test_pii_scrub_semantics(spark):
     r6 = got[6]
     assert (r6["n_emails"], r6["n_ips"], r6["n_phones"]) == (1, 0, 0)
     assert r6["scrubbed"] == "call <EMAIL> for help"
+
+
+def test_pii_scrub_idempotent_and_inert_placeholders(spark):
+    """Scrubbed text must be a FIXED POINT of pii_scrub — composed curation
+    pipelines re-scrub (e.g. a source merged after an earlier compliance
+    pass), so a placeholder that re-matched any pattern, or a replacement
+    that CREATED a new cross-boundary match, would corrupt text on every
+    pass. Adversarial rows place raw digits/@/dots flush against every
+    placeholder insertion point."""
+    rows = [
+        (1, "a@b.co10.0.0.7 and 7.7.7.7-03-1234-5678"),
+        (2, "x9@y.org9.9.9.9 03-1234-5678.03-1234-5678@z.io"),
+        (3, "digits 123 around 1.2.3.4 456 and 0-0 weird 012-34-567"),
+        (4, "<EMAIL> literal placeholder already present u@v.net"),
+        (5, "edge @ no-user @x.com and user@ no-domain"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    first = textstats.pii_scrub(docs).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    second = {
+        r["doc_id"]: r for r in textstats.pii_scrub(first).collect()
+    }
+    scrubbed = {r["doc_id"]: r["scrubbed"] for r in
+                textstats.pii_scrub(docs).collect()}
+    for did, text in scrubbed.items():
+        r2 = second[did]
+        assert r2["scrubbed"] == text, (did, text, r2["scrubbed"])
+        # nothing left for a second pass to find
+        assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0), (
+            did, text, r2
+        )
