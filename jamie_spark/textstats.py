@@ -857,6 +857,125 @@ def sketch_value(bucket_col: str, k: int = QS_K, scale: int = QS_SCALE):
     )
 
 
+def _ilog2_fp(c: str, k: int = QS_K) -> str:
+    """SQL fragment: integer fixed-point log2 of positive BIGINT expression
+    ``c`` in 1/k-octave units — the quantile sketch's octave + linear
+    sub-bucket formula reused as a scalar. Monotone, ilog2_fp(1) = 0,
+    error <= 1/k octave, pure integer arithmetic (len(bin)-1 octave,
+    shift+div sub-bucket), so both engines evaluate it bit-identically.
+    ``c`` is inlined several times: pass a simple column reference."""
+    e = f"int(length(bin({c})) - 1)"
+    p = f"shiftleft(1L, {e})"
+    return f"(CAST({e} AS BIGINT) * {k} + (({c} - {p}) * {k}) DIV {p})"
+
+
+def lm_surprisal(
+    docs: "DataFrame",
+    train_docs: "DataFrame | None" = None,
+    k: int = QS_K,
+) -> "DataFrame":
+    """(doc_id, n_grams, surprisal_fp, mean_surprisal_fp) — n-gram LM
+    perplexity scoring, the CCNet/Gopher-style quality signal (docs whose
+    token transitions are IMPROBABLE under a reference corpus score high;
+    boilerplate and repeated text score low), built ENGINE-EXACT: each
+    bigram contributes the integer fixed-point surprisal
+
+        ilog2_fp(count(ctx)) - ilog2_fp(count(ctx, w))   [>= 0]
+
+    i.e. ~ -k*log2 P(w | ctx) in 1/k-octave units, using the quantile
+    sketch's integer log2 (:func:`_ilog2_fp`) instead of a float ``ln`` —
+    float log libraries differ in the last ulp across engines, which would
+    break value-oracling; the fixed-point form is bit-identical in Spark
+    and DuckDB and monotone in the true probability. ``mean_surprisal_fp``
+    is the integer mean (DIV, exact — summands are non-negative, so
+    truncation == floor in both engines); a perplexity-percentile filter
+    composes as ``approx_percentiles`` over it.
+
+    The model trains on ``train_docs`` (default: ``docs`` itself — the
+    self-scoring mode where every observed gram is in the model). Unseen
+    grams under an external model coalesce to count 1 (surprisal =
+    ilog2_fp(ctx total), the maximum for that context); unseen contexts
+    coalesce to (1, 1) → surprisal 0 (uninformative, documented). Docs
+    with < 2 tokens get n_grams = 0 / surprisal 0 and remain in the
+    output for downstream filters. Self-scoring is pure MLE: a context
+    observed with only ONE continuation is perfectly predictable
+    (surprisal 0) however rare it is — the within-corpus signal lives in
+    SHARED contexts; scoring against an external reference corpus (the
+    CCNet production shape) is what makes globally-rare text score high,
+    via the unseen-gram path above.
+
+    Scale shape (100 TB): gram extraction is a per-row array transform +
+    explode (linear, no shuffle); the model is two hash aggregations with
+    map-side combine (gram cardinality-bounded); scoring is plain
+    equi-joins on (ctx, gram) and ctx — NO broadcast assumption (a
+    web-corpus bigram table exceeds broadcast limits) and no windows, so
+    every stage is the canonical shuffle-bounded shape.
+    """
+    if train_docs is None:
+        train_docs = docs
+
+    def grams(d: "DataFrame") -> "DataFrame":
+        w = _words(d)
+        # sequence() auto-descends below 2 tokens (the k=0 lesson):
+        # gate the transform on size >= 2
+        return w.where(F.size("ws") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(ws)), i -> named_struct("
+                    "'ctx', element_at(ws, i - 1), "
+                    "'gram', concat(element_at(ws, i - 1), ' ',"
+                    " element_at(ws, i))))"
+                )
+            ).alias("g"),
+        ).select("doc_id", F.col("g.ctx").alias("ctx"),
+                 F.col("g.gram").alias("gram"))
+
+    model = grams(train_docs).groupBy("ctx", "gram").agg(
+        F.count(F.lit(1)).alias("c_g")
+    )
+    ctx_tbl = model.groupBy("ctx").agg(F.sum("c_g").alias("c_c"))
+    scored = (
+        grams(docs)
+        .join(model, ["ctx", "gram"], "left")
+        .join(ctx_tbl, ["ctx"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c_g"), F.lit(1)).cast("long").alias("c_g"),
+            F.coalesce(F.col("c_c"), F.lit(1)).cast("long").alias("c_c"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.expr(_ilog2_fp("c_c", k)) - F.expr(_ilog2_fp("c_g", k))
+            ).alias("surp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("surp").alias("surprisal_fp"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("surprisal_fp", F.lit(0)).cast("long").alias(
+                "surprisal_fp"
+            ),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.expr("surprisal_fp DIV n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_surprisal_fp"),
+        )
+    )
+
+
 def approx_percentiles(
     df: "DataFrame",
     value_col: str,
