@@ -297,6 +297,29 @@ def main() -> None:
         t = time.perf_counter()
         textstats.sequence_pack(pdocs, 2048, group_col="source").count()
         timings["pack_stress_sequence"] = round(time.perf_counter() - t, 3)
+        # LM-perplexity scale stress (late r5): self-scored bigram model —
+        # gram explode + two hash aggs + equi-join scoring. The boilerplate
+        # corpus alone is DEGENERATE for an LM (repeated passages -> a tiny
+        # distinct-gram model that AQE broadcasts; measured 0.49s at 500k
+        # docs, which over-states the operator), so two unique tokens per
+        # doc force a corpus-sized model table (>= 2 unique grams/doc) and
+        # the join becomes the real shuffle shape; gram cardinality is
+        # recorded so the number cannot be over-read
+        ldocs = pdocs.select(
+            "doc_id",
+            PF.concat(
+                PF.col("text"), PF.lit(" u"), PF.col("doc_id"),
+                PF.lit(" v"), PF.col("doc_id"),
+            ).alias("text"),
+        )
+        t = time.perf_counter()
+        lm = textstats.lm_surprisal(ldocs)
+        n_lm = lm.count()
+        timings["lm_stress_surprisal"] = round(time.perf_counter() - t, 3)
+        spread["lm_stress_surprisal"] = [
+            timings["lm_stress_surprisal"], timings["lm_stress_surprisal"]
+        ]
+        stress["lm_docs_scored"] = n_lm
         pdocs.unpersist()
         for k in ("pack_stress_budget", "pack_stress_sequence"):
             spread[k] = [timings[k], timings[k]]
