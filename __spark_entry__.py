@@ -186,6 +186,8 @@ def _e3_rel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the mention-string eval would NOT catch — that is the point of the
     strict variant)."""
     t = _kg_triples_window(spark, sf_dir)
+    # gold feeds both eval sides — materialize the window-triple extraction
+    # once (same rationale as _e3_rel_relax)
     gold = t.select(
         "doc_id",
         F.col("pos_a").alias("tail_begin"),
@@ -193,7 +195,7 @@ def _e3_rel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_b").alias("head_begin"),
         (F.col("pos_b") + 1).alias("head_end"),
         "subj",
-    )
+    ).localCheckpoint(eager=True)
     dropped = (F.col("doc_id") % 7 == 0) & (F.col("tail_begin") % 2 == 0)
     pred = gold.where(~dropped).withColumn(
         "head_end",
@@ -266,27 +268,40 @@ def _relax_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``rel_token_triples`` must drop, reference clinical_eval.py:31-36)
     """
     # ONE struct-array expression carries the whole multihead rule; rels and
-    # heads are projections of it, so the rule cannot desynchronize
+    # heads are projections of it, so the rule cannot desynchronize.
+    # Staged projections keep it cheap: ``split(text)`` lands as a column
+    # (the inline form re-ran the split inside EVERY per-token lambda —
+    # O(tokens * text_len) per doc), and the struct array materializes once
+    # per row (non-cheap expressions are not duplicated across projections
+    # by CollapseProject), instead of once per consuming column.
     multihead = """
-        transform(sequence(0, size(split(text, ' ')) - 1), i ->
+        transform(sequence(0, size(ws) - 1), i ->
           filter(array(
             named_struct('r', 'next2', 'h', i + 2,
-              'ok', i % 5 = 0 AND i + 2 < size(split(text, ' '))),
+              'ok', i % 5 = 0 AND i + 2 < size(ws)),
             named_struct('r', 'next3', 'h', i + 3,
-              'ok', i % 7 = 0 AND i + 3 < size(split(text, ' '))),
+              'ok', i % 7 = 0 AND i + 3 < size(ws)),
             named_struct('r', 'N', 'h', i + 1,
-              'ok', i % 9 = 0 AND i + 1 < size(split(text, ' ')))
+              'ok', i % 9 = 0 AND i + 1 < size(ws))
           ), x -> x.ok))
     """
-    return _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.lit(0).alias("sent_id"),
-        F.expr(
-            f"transform({multihead}, lst -> transform(lst, x -> x.r))"
-        ).alias("rels"),
-        F.expr(
-            f"transform({multihead}, lst -> transform(lst, x -> x.h))"
-        ).alias("heads"),
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.split("text", " ").alias("ws"),
+        )
+        .select("url", F.expr(multihead).alias("mh"))
+        .select(
+            "url",
+            F.lit(0).alias("sent_id"),
+            F.expr("transform(mh, lst -> transform(lst, x -> x.r))").alias(
+                "rels"
+            ),
+            F.expr("transform(mh, lst -> transform(lst, x -> x.h))").alias(
+                "heads"
+            ),
+        )
     )
 
 
@@ -302,7 +317,13 @@ def _e3_rel_relax(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinction)."""
     from jamie_spark import mentions as jmentions
 
-    gold = jmentions.rel_token_triples(_relax_annotations(spark, sf_dir))
+    # gold feeds BOTH sides of the multiset eval (its own agg + pred's
+    # lineage); materialize the extraction once instead of running the
+    # multihead explode twice (guide §2.4: shared subplans with different
+    # downstream keys never hit ReuseExchange)
+    gold = jmentions.rel_token_triples(
+        _relax_annotations(spark, sf_dir)
+    ).localCheckpoint(eager=True)
     doc = F.col("url").cast("long")
     dropped = (doc % 7 == 0) & (F.col("tail_id") % 2 == 0)
     pred = gold.where(~dropped).withColumn(
@@ -684,6 +705,14 @@ def _word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
+        # the edge set is VOCABULARY-sized (distinct word pairs) but its
+        # lineage is a corpus-sized explode; every kg_* consumer reads it
+        # 2-7x through branches with different shuffle keys (degrees both
+        # directions, CC probe + solve, pagerank nodes/e_deg, incremental
+        # base/batch/new_vs) that ReuseExchange cannot collapse — so the
+        # corpus explode re-ran per branch. Materialize once per call
+        # (guide §2.4 / §5: cut lineage when the payoff is re-read count).
+        .localCheckpoint(eager=True)
     )
 
 

@@ -672,14 +672,13 @@ def negative_sample(
         n_entities = ent.count()
     from . import textstats
 
-    ent_d = ent.select(F.col("obj").alias("doc_id"))
-    ranked = textstats._md5_walk_cumsum(
-        ent_d,
-        [],
-        weights=ent_d.select(
-            "doc_id", F.lit(1).cast("long").alias("n_tokens")
-        ),
+    ent_d = ent.select(
+        F.col("obj").alias("doc_id"),
+        F.lit(1).cast("long").alias("unit_w"),
     )
+    # unit weight as an inline column — the weights-frame form self-joined
+    # the entity vocabulary on doc_id (both sides re-running the distinct)
+    ranked = textstats._md5_walk_cumsum(ent_d, [], weight_col="unit_w")
     ent_rk = ranked.select(
         F.col("doc_id").alias("neg_obj"),
         (F.col("cum_tokens") - 1).alias("rk"),

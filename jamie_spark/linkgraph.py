@@ -177,18 +177,17 @@ def crawl_budget(
     """
     from . import textstats
 
+    # whole-block ceil in long arithmetic; length(binary) counts BYTES.
+    # Cost rides the SAME select as the keys (weight_col) — the separate
+    # weights frame joined pages to itself on url
+    u = int(unit_bytes)
     d = pages.select(
         F.col(url_col).alias("doc_id"),
         url_host(F.col(url_col)).alias("host"),
-    )
-    # whole-block ceil in long arithmetic; length(binary) counts BYTES
-    u = int(unit_bytes)
-    w = pages.select(
-        F.col(url_col).alias("doc_id"),
-        F.expr(f"(length({html_col}) + {u - 1}) div {u}").alias("n_tokens"),
+        F.expr(f"(length({html_col}) + {u - 1}) div {u}").alias("cost_u"),
     )
     cum = textstats._md5_walk_cumsum(
-        d, ["host"], max_cum=cost_budget, weights=w
+        d, ["host"], max_cum=cost_budget, weight_col="cost_u"
     )
     return cum.where(
         F.col("cum_tokens") - F.col("n_tokens") < cost_budget
@@ -269,11 +268,16 @@ def crawl_frontier(
         .join(crawled, "url", "left_anti")
         .withColumn("host", url_host(F.col("url")))
     )
-    gated = cand.join(F.broadcast(top), "host")
-    d = gated.select(F.col("url").alias("doc_id"), "host", "rank_fp")
-    w = d.select("doc_id", F.lit(1).cast("long").alias("n_tokens"))
+    # materialize the gated candidate set once: the prefix sum consumes it
+    # through two branches (per-bucket sums + the final join), and without
+    # the barrier each branch re-ran the corpus-sized distinct + anti-join
+    gated = cand.join(F.broadcast(top), "host").localCheckpoint(eager=True)
+    d = gated.select(
+        F.col("url").alias("doc_id"), "host", "rank_fp",
+        F.lit(1).cast("long").alias("unit_w"),
+    )
     cum = textstats._md5_walk_cumsum(
-        d, ["host", "rank_fp"], max_cum=per_host_quota, weights=w
+        d, ["host", "rank_fp"], max_cum=per_host_quota, weight_col="unit_w"
     )
     return cum.where(F.col("cum_tokens") <= per_host_quota).select(
         F.col("doc_id").alias("url"),

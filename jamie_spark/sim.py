@@ -71,20 +71,32 @@ def _per_query_topk(scored: "DataFrame", k: int) -> "DataFrame":
 
 
 def _dot(a: str, b: str) -> "F.Column":
-    """Sequential index-ordered dot product of two array<float> columns."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) ->"
-        " cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
+    """Sequential index-ordered dot product of two array<float> columns.
+
+    Unrolled over the fixed DIM as explicit left-associative addition
+    (``0D + p0 + p1 + ...``) — the EXACT operation sequence of the
+    ``aggregate(zip_with(...))`` fold it replaces (same IEEE adds in the
+    same order, so results are bit-identical and the DuckDB oracle is
+    untouched), but codegen-able: higher-order functions are interpreted
+    per element, while GetArrayItem/multiply/add compile into the
+    whole-stage-codegen loop (guide §4.1). Measured the dominant cost of
+    every verify/score stage in this module at sf1.0.
+    """
+    terms = " + ".join(
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
+        for i in range(DIM)
     )
+    return F.expr(f"0D + {terms}")
 
 
 def _norm(a: str) -> "F.Column":
-    return F.sqrt(
-        F.expr(
-            f"aggregate({a}, 0D, (acc, x) ->"
-            " acc + cast(x as double) * cast(x as double))"
-        )
+    """sqrt of the sequential sum of squares — unrolled like :func:`_dot`
+    (``0D + x0*x0 + x1*x1 + ...``), bit-identical to the fold it replaces."""
+    terms = " + ".join(
+        f"cast({a}[{i}] as double) * cast({a}[{i}] as double)"
+        for i in range(DIM)
     )
+    return F.sqrt(F.expr(f"0D + {terms}"))
 
 
 def cosine_topk(
@@ -282,10 +294,17 @@ def _bucket_signatures_arrow(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            d = rb.to_pydict()
-            ids = np.asarray(d["vec_id"])
-            emb = np.asarray(
-                [list(e) for e in d["embedding"]], dtype=np.float64
+            ids = rb.column("vec_id").to_numpy()
+            ecol = rb.column("embedding")
+            # list<float> -> flat values buffer -> (rows, DIM): zero row-wise
+            # Python objects (the to_pydict path materialized every vector as
+            # a Python list — measured as the stage's dominant cost). flatten()
+            # respects offsets; ragged rows would fail the reshape loudly.
+            emb = (
+                ecol.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(ids), -1)
             )
             bits = (emb @ bank > 0).reshape(len(ids), n_tables, n_planes)
             buckets = (bits * powers).sum(axis=2).astype("int64")
@@ -562,25 +581,35 @@ def quantize_int8(embeddings: "DataFrame") -> "DataFrame":
     (tests gate recall@5 >= 0.9 vs the exact path). Quantized dots are pure
     int64 folds: engine-exact, hence value-oracle-able like everything else.
     """
-    amax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    # STAGED projections: the single-select form inlined ``amax`` (an
+    # array_max over a transform) into the per-element quantization lambda —
+    # O(DIM^2) interpreted work per row — and inlined ``qvec`` again into
+    # the sq fold. Materializing each as a column makes every piece compute
+    # once per row (CollapseProject never duplicates non-cheap expressions).
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    staged = embeddings.select("vec_id", "embedding", amax.alias("_amax"))
     qvec = F.when(
-        amax.isNull() | (amax == 0),
+        F.col("_amax").isNull() | (F.col("_amax") == 0),
         F.transform("embedding", lambda x: F.lit(0)),
     ).otherwise(
         F.transform(
             "embedding",
-            lambda x: F.round(x.cast("double") * 127.0 / amax).cast("int"),
+            lambda x: F.round(
+                x.cast("double") * 127.0 / F.col("_amax")
+            ).cast("int"),
         )
     )
-    return embeddings.select(
-        "vec_id",
-        qvec.alias("qvec"),
-        F.aggregate(
-            qvec,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + (v * v).cast("long"),
-        ).alias("sq"),
+    q = staged.select("vec_id", qvec.alias("qvec"))
+    # unrolled like _dot (codegen); integer adds are exact in any order, so
+    # this is bit-identical to the fold it replaces
+    sq = F.expr(
+        "0L + " + " + ".join(
+            f"cast(qvec[{i}] * qvec[{i}] as bigint)" for i in range(DIM)
+        )
     )
+    return q.select("vec_id", "qvec", sq.alias("sq"))
 
 
 def cosine_topk_int8(
@@ -600,7 +629,19 @@ def cosine_topk_int8(
     at sf0.1; both rejected). Locally the int fold scores ~2x slower than
     the double fold — the trade is bytes, not FLOPs.
     """
-    base = quantize_int8(embeddings).where(F.col("sq") > 0)
+    # zero-vector exclusion happens BEFORE quantization on the equivalent
+    # cheap predicate: sq > 0  <=>  max|x| > 0 (the max element quantizes to
+    # +-127, so sq >= 127^2; amax null/0 => all-zero qvec => sq = 0). A
+    # filter on the computed ``sq`` column is pushed through the projection
+    # by substitution, re-inlining the whole quantization into the scan
+    # filter — the duplication this rewrite removes (plan-asserted in
+    # tests; same row set by the equivalence above).
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    base = quantize_int8(
+        embeddings.where(amax.isNotNull() & (amax > 0))
+    )
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("qa"),
@@ -611,10 +652,12 @@ def cosine_topk_int8(
         F.col("qvec").alias("qb"),
         F.col("sq").alias("sqb"),
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v.cast("long"),
+    # unrolled like _dot (codegen vs interpreted fold); integer adds are
+    # exact and associative, so any order is bit-identical to the fold
+    dot = F.expr(
+        "0L + " + " + ".join(
+            f"cast(qa[{i}] * qb[{i}] as bigint)" for i in range(DIM)
+        )
     )
     scored = (
         F.broadcast(q)

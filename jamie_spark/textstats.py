@@ -228,7 +228,22 @@ def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
     )
 
 
-def _filtered_shingles(docs: "DataFrame", n: int, max_df: int) -> "DataFrame":
+def _distinct_shingles(
+    docs: "DataFrame", n: int, sh: "DataFrame | None" = None
+) -> "DataFrame":
+    """Distinct (doc_id, shingle) — the stream every dedup stage consumes.
+    ``sh`` lets a composed caller (near_dup_pairs: signatures + verify
+    universe + sizes) pass ONE materialized copy instead of re-running the
+    corpus explode+distinct per consumer (the branches shuffle on different
+    keys, so ReuseExchange never collapses them)."""
+    if sh is not None:
+        return sh
+    return shingles(docs, n).select("doc_id", "shingle").distinct()
+
+
+def _filtered_shingles(
+    docs: "DataFrame", n: int, max_df: int, sh: "DataFrame | None" = None
+) -> "DataFrame":
     """Distinct (doc_id, shingle) with high-document-frequency shingles
     dropped. ``max_df`` caps the posting-list length per shingle: a
     boilerplate shingle shared by k documents alone produces k^2/2 join rows
@@ -239,7 +254,7 @@ def _filtered_shingles(docs: "DataFrame", n: int, max_df: int) -> "DataFrame":
     construction FEW (each needs > max_df distinct docs): partial-agg
     shuffle to find them, broadcast anti-join to drop them — never a full
     sort of the posting lists."""
-    sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+    sh = _distinct_shingles(docs, n, sh)
     heavy = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -283,8 +298,12 @@ def ngram_jaccard_pairs(
     guard; the DuckDB oracle applies the identical filter). The exact
     all-pairs path; :func:`near_dup_pairs` is the shortlist-first scale
     composition with identical scoring.
+
+    The filtered stream feeds three branches (both join sides + the size
+    table) with different shuffle keys; it is materialized once so the
+    corpus explode + distinct + df-cap runs once, not per branch.
     """
-    sh = _filtered_shingles(docs, n, max_df)
+    sh = _filtered_shingles(docs, n, max_df).localCheckpoint(eager=True)
     inter = (
         sh.alias("a")
         .join(sh.alias("b"), "shingle")
@@ -324,16 +343,20 @@ def char_shingles(docs: "DataFrame", n: int = 8) -> "DataFrame":
 
 
 def _minhash_sig_table(
-    docs: "DataFrame", n: int = 3, unit: str = "word"
+    docs: "DataFrame", n: int = 3, unit: str = "word",
+    sh: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(doc_id, mh0..mh{N_MINHASHES-1}) — the full md5-MinHash signature row
     per document: the unit the incremental signature store persists.
     ``unit="word"`` shingles on word n-grams (space-tokenized corpora);
-    ``unit="char"`` on character n-grams (CJK / unsegmented text)."""
+    ``unit="char"`` on character n-grams (CJK / unsegmented text).
+    ``sh`` substitutes a precomputed distinct (doc_id, shingle) stream
+    (word unit only — the composed dedup path shares one materialized
+    copy across signatures and verify)."""
     if unit == "char":
-        sh = char_shingles(docs, n)
+        sh = char_shingles(docs, n) if sh is None else sh
     else:
-        sh = shingles(docs, n).select("doc_id", "shingle").distinct()
+        sh = _distinct_shingles(docs, n, sh)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"mh{k}")
         for k in range(N_MINHASHES)
@@ -362,9 +385,11 @@ def _bands_of(sig: "DataFrame") -> "DataFrame":
     )
 
 
-def minhash_signatures(docs: "DataFrame", n: int = 3) -> "DataFrame":
+def minhash_signatures(
+    docs: "DataFrame", n: int = 3, sh: "DataFrame | None" = None
+) -> "DataFrame":
     """(doc_id, band_id, band_key) — md5-MinHash banded signatures."""
-    return _bands_of(_minhash_sig_table(docs, n))
+    return _bands_of(_minhash_sig_table(docs, n, sh=sh))
 
 
 def write_signature_store(
@@ -477,7 +502,13 @@ def dedup_against_signatures(
     if max_bucket is None:
         max_bucket = MAX_BAND_BUCKET
     if new_sig is None:
-        new_sig = _minhash_sig_table(new_docs, n, unit=unit)
+        # consumed three times (batch bands -> band keys, the candidate
+        # join, and the agreement verify) — materialize once instead of
+        # re-shingling the batch per consumer; callers that computed the
+        # table themselves (the streaming loop) pass new_sig persisted
+        new_sig = _minhash_sig_table(new_docs, n, unit=unit).localCheckpoint(
+            eager=True
+        )
     new_bands = _bands_of(new_sig).select(
         F.col("doc_id").alias("new_doc_id"), "band_id", "band_key"
     )
@@ -552,7 +583,8 @@ MAX_BAND_BUCKET = 64
 
 
 def minhash_pairs(
-    docs: "DataFrame", n: int = 3, max_bucket: int = MAX_BAND_BUCKET
+    docs: "DataFrame", n: int = 3, max_bucket: int = MAX_BAND_BUCKET,
+    sh: "DataFrame | None" = None,
 ) -> "DataFrame":
     """(doc_a, doc_b) — candidate near-dup pairs sharing >= 1 MinHash band.
 
@@ -565,15 +597,19 @@ def minhash_pairs(
     """
     from pyspark.sql import Window
 
-    sig = minhash_signatures(docs, n)
+    sig = minhash_signatures(docs, n, sh=sh)
     wp = Window.partitionBy("band_id", "band_key")
+    # ranked feeds FOUR join sides (small a/b + chain a/b); materialize the
+    # windowed frame once instead of re-running the shingle explode +
+    # signature aggregation + window sort per side (ReuseExchange only
+    # collapses bit-identical subtrees, and the small/big filters differ)
     ranked = sig.select(
         "doc_id",
         "band_id",
         "band_key",
         F.count(F.lit(1)).over(wp).alias("bsz"),
         F.row_number().over(wp.orderBy("doc_id")).alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     small = ranked.where(F.col("bsz") <= max_bucket)
     pairs_small = (
         small.alias("a")
@@ -613,9 +649,18 @@ def near_dup_pairs(
     applies the SAME ``max_df`` boilerplate-shingle cap as the exact path —
     scores are therefore identical to :func:`ngram_jaccard_pairs` on every
     shortlisted pair (precision 1.0; recall = LSH band recall).
+
+    One distinct-shingle pass serves the whole composition: the stream is
+    materialized once and shared by the MinHash signature table, the
+    df-capped verify universe, and the size table (previously three
+    independent corpus explodes — branches with different shuffle keys
+    that ReuseExchange cannot collapse).
     """
-    cand = minhash_pairs(docs, n)
-    sh = _filtered_shingles(docs, n, max_df)
+    sh_all = _distinct_shingles(docs, n).localCheckpoint(eager=True)
+    cand = minhash_pairs(docs, n, sh=sh_all)
+    sh = _filtered_shingles(docs, n, max_df, sh=sh_all).localCheckpoint(
+        eager=True
+    )
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
@@ -1291,6 +1336,8 @@ def _md5_walk_cumsum(
     gpart: list[str],
     max_cum: int | None = None,
     weights: "DataFrame | None" = None,
+    weight_col: str | None = None,
+    prefix_len: int = 2,
 ) -> "DataFrame":
     """Distributed exact prefix sum of ``n_tokens`` along the md5(doc_id)
     walk order, per group — the shared core of :func:`token_budget_sample`,
@@ -1303,15 +1350,35 @@ def _md5_walk_cumsum(
     sort beyond-budget rows). ``weights`` substitutes an explicit
     (doc_id, n_tokens) integer-weight table for the default whitespace
     token counts — any exact integer cost (bytes, pages, fetch units)
-    prefix-sums the same way. Returns doc_id[, group cols], n_tokens,
-    cum_tokens."""
-    toks = token_counts(docs) if weights is None else weights
+    prefix-sums the same way; ``weight_col`` names an integer column
+    ALREADY ON ``docs`` to use instead (no join — callers whose weight is
+    a projection of the same frame previously paid a doc_id self-join
+    that re-ran the whole upstream plan on both sides). Returns
+    doc_id[, group cols], n_tokens, cum_tokens."""
     cols = ["doc_id"] + gpart
+    if weight_col is not None:
+        base = docs.select(*cols, F.col(weight_col).alias("n_tokens"))
+    elif weights is None:
+        # token_counts is a pure projection of docs — computing it inline
+        # replaces a scan + equi-join on doc_id with one column expression
+        # in the same scan (bit-identical: doc_id is the row identity)
+        base = docs.select(
+            *cols, F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
+    else:
+        base = docs.select(*cols).join(weights, "doc_id")
+    # ``prefix_len`` hex chars of the md5 key = 16^prefix_len buckets per
+    # group: the bucket id is a PREFIX of the sort key, so (bucket, key)
+    # order == key order at ANY prefix length and the emitted cumsum is
+    # identical — only the max per-window partition (1/16^p of a group)
+    # changes. Callers with no budget prune (sequence_pack) raise it for
+    # huge single-group corpora; the offsets table stays 16^p x |groups|.
+    if not 1 <= int(prefix_len) <= 8:
+        raise ValueError(f"prefix_len must be in 1..8, got {prefix_len}")
     d = (
-        docs.select(*cols)
-        .join(toks, "doc_id")
+        base
         .withColumn("_k", F.md5(F.col("doc_id").cast("string")))
-        .withColumn("_b", F.substring("_k", 1, 2))
+        .withColumn("_b", F.substring("_k", 1, int(prefix_len)))
     )
     bucket_sums = d.groupBy(*gpart, "_b").agg(
         F.sum("n_tokens").alias("_bsum")
@@ -1350,7 +1417,8 @@ def _md5_walk_cumsum(
 
 
 def sequence_pack(
-    docs: "DataFrame", seq_len: int, group_col: str | None = None
+    docs: "DataFrame", seq_len: int, group_col: str | None = None,
+    n_rows: int | None = None,
 ) -> "DataFrame":
     """(doc_id[, group], n_tokens, seq_id, seq_offset) — token-offset
     SEQUENCE PACKING: lay documents end-to-end along the md5(doc_id) walk
@@ -1364,10 +1432,23 @@ def sequence_pack(
     table. Grouped, it packs per source/domain (curriculum or per-domain
     shards). Exact integer arithmetic over the distributed two-phase prefix
     sum — same scale shape as token_budget_sample, value-oracles the same
-    way."""
+    way.
+
+    Unlike the budget callers, NOTHING prunes before the per-row window
+    here — every row of a (group, bucket) partition sorts in one task. The
+    bucket fan-out therefore scales with the corpus via ``n_rows`` (same
+    caller-known-count contract as sim's ``n_rows`` /
+    negative_sample's ``n_entities``): the prefix grows one hex char per
+    16x corpus past ~16M rows/group, holding the max window partition near
+    ~1M rows. md5-prefix order is preserved at any prefix length, so the
+    output — and the oracle — is identical."""
     cols = ["doc_id"] + ([group_col] if group_col else [])
     gpart = [group_col] if group_col else []
-    cum = _md5_walk_cumsum(docs, gpart)
+    prefix_len = 2
+    if n_rows is not None:
+        while 16 ** prefix_len * 1_000_000 < n_rows and prefix_len < 8:
+            prefix_len += 1
+    cum = _md5_walk_cumsum(docs, gpart, prefix_len=prefix_len)
     return cum.select(
         *cols,
         "n_tokens",
