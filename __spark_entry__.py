@@ -26,12 +26,53 @@ from jamie_spark.concepts import MOD_DICT
 from jamie_spark.textstats import LANG_MARKERS, LANG_PRIORITY, STOPWORDS
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread an under-split scan across the cluster's cores.
+
+    A table smaller than ``spark.sql.files.maxPartitionBytes`` arrives as
+    1-2 input splits, which caps EVERY downstream map stage (shingle
+    explodes, signature aggregations, partial aggregates) at 1-2 tasks no
+    matter how many cores exist — measured as the dominant cost of the
+    dedup/sim families at sf1.0 (e.g. a 28M-row candidate join running
+    2-way). Conditions make it scale-adaptive, not a local[32] constant:
+    it fires only when the scan yields fewer splits than
+    ``defaultParallelism`` AND the table is big enough (> 4MB) for the
+    one-off shuffle to pay; at production scale scans split naturally and
+    this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    total = 0
+    for f in df.inputFiles():
+        if f.startswith("file:"):
+            import os
+            from urllib.parse import urlparse
+
+            try:
+                total += os.path.getsize(urlparse(f).path)
+            except OSError:
+                pass
+    if total < (1 << 22):
+        return df
+    return df.repartition(p)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: every consumer fans the text column out (shingles, edges,
+    # n-gram explodes) — the downstream work per scanned byte is huge
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # embeddings join the documents table in the spread set (GEMM + fold
+    # scoring per row); the relational tables do NOT — their queries are
+    # single aggregations/joins where an extra exchange of the whole table
+    # costs more than the 1-2-task scan (measured: e4_mod_family
+    # 1.8s -> 3.4s with events spread; reverted)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(df) if name == "embeddings" else df
 
 
 # --------------------------------------------------------------------------

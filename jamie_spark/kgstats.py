@@ -649,24 +649,33 @@ def negative_sample(
     ``n_entities`` skips the vocab count when the caller already knows it
     (same contract as sim's ``n_rows``).
     """
-    t = triples.select("subj", "pred", "obj").distinct()
     if k <= 0:
         # k=0 means "no negatives", not sequence(0, -1) — Spark's sequence
         # auto-descends and would emit sample_idx in {0, -1} per positive
-        return t.where(F.lit(False)).select(
+        return triples.select("subj", "pred", "obj").where(F.lit(False)).select(
             "subj",
             "pred",
             F.col("obj").alias("neg_obj"),
             F.lit(0).cast("long").alias("sample_idx"),
         )
+    # the distinct positive set feeds FOUR consumers (entity vocab twice,
+    # candidates, the positive anti-join) plus the optional eager count —
+    # materialize once instead of re-running the upstream extraction +
+    # distinct per consumer
+    t = triples.select("subj", "pred", "obj").distinct().localCheckpoint(
+        eager=True
+    )
     # corruption vocabulary = ALL entities (heads and tails, the TransE
     # convention): a tails-only vocab can be so saturated by positives on
     # a dense dictionary-derived graph that every corruption collides and
     # the sample comes back empty
+    # vocab feeds the count, and the rank prefix-sum reads it through two
+    # branches — materialize (it is entity-cardinality, not corpus rows)
     ent = (
         t.select(F.col("subj").alias("obj"))
         .union(t.select("obj"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     if n_entities is None:
         n_entities = ent.count()

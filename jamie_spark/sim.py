@@ -73,30 +73,25 @@ def _per_query_topk(scored: "DataFrame", k: int) -> "DataFrame":
 def _dot(a: str, b: str) -> "F.Column":
     """Sequential index-ordered dot product of two array<float> columns.
 
-    Unrolled over the fixed DIM as explicit left-associative addition
-    (``0D + p0 + p1 + ...``) — the EXACT operation sequence of the
-    ``aggregate(zip_with(...))`` fold it replaces (same IEEE adds in the
-    same order, so results are bit-identical and the DuckDB oracle is
-    untouched), but codegen-able: higher-order functions are interpreted
-    per element, while GetArrayItem/multiply/add compile into the
-    whole-stage-codegen loop (guide §4.1). Measured the dominant cost of
-    every verify/score stage in this module at sf1.0.
+    Deliberately the ``aggregate(zip_with(...))`` fold: an unrolled
+    64-term ``0D + a[0]*b[0] + ...`` sum was measured 5x SLOWER (3.3s vs
+    0.6s per 1M pairs on this box — 128 independent GetArrayItem calls
+    lose to the fold's single array walk), so the fold IS the fast form
+    here despite being a higher-order function.
     """
-    terms = " + ".join(
-        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)"
-        for i in range(DIM)
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        " cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)"
     )
-    return F.expr(f"0D + {terms}")
 
 
 def _norm(a: str) -> "F.Column":
-    """sqrt of the sequential sum of squares — unrolled like :func:`_dot`
-    (``0D + x0*x0 + x1*x1 + ...``), bit-identical to the fold it replaces."""
-    terms = " + ".join(
-        f"cast({a}[{i}] as double) * cast({a}[{i}] as double)"
-        for i in range(DIM)
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, 0D, (acc, x) ->"
+            " acc + cast(x as double) * cast(x as double))"
+        )
     )
-    return F.sqrt(F.expr(f"0D + {terms}"))
 
 
 def cosine_topk(
@@ -343,6 +338,19 @@ def candidate_pairs(
     """
     n_planes = _resolve_planes(embeddings, n_planes, n_rows)
     sig = bucket_signatures(embeddings, n_planes, n_tables)
+    # pre-shuffle the NARROW signature rows by the join key: a small
+    # embeddings file scans as 1-2 splits, and without this the self-join
+    # and the pair-distinct's partial aggregation ran 2-way regardless of
+    # cores (measured 42s of the 57s total at sf1.0). Scale-neutral: this
+    # is the partitioning the join needs anyway once sig outgrows
+    # broadcast, and the shuffle moves 24-byte id rows, never embeddings.
+    # The partition count is pinned (AQE would coalesce 7MB of sig rows
+    # into 2-3 partitions, blind to the join's 1000x row fan-out) to the
+    # cluster's parallelism — a conf-derived value, not a constant.
+    sig = sig.repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism,
+        "table_id", "bucket",
+    )
     return (
         sig.alias("a")
         .join(sig.alias("b"), ["table_id", "bucket"])
@@ -602,12 +610,10 @@ def quantize_int8(embeddings: "DataFrame") -> "DataFrame":
         )
     )
     q = staged.select("vec_id", qvec.alias("qvec"))
-    # unrolled like _dot (codegen); integer adds are exact in any order, so
-    # this is bit-identical to the fold it replaces
-    sq = F.expr(
-        "0L + " + " + ".join(
-            f"cast(qvec[{i}] * qvec[{i}] as bigint)" for i in range(DIM)
-        )
+    sq = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + (v * v).cast("long"),
     )
     return q.select("vec_id", "qvec", sq.alias("sq"))
 
@@ -652,12 +658,10 @@ def cosine_topk_int8(
         F.col("qvec").alias("qb"),
         F.col("sq").alias("sqb"),
     )
-    # unrolled like _dot (codegen vs interpreted fold); integer adds are
-    # exact and associative, so any order is bit-identical to the fold
-    dot = F.expr(
-        "0L + " + " + ".join(
-            f"cast(qa[{i}] * qb[{i}] as bigint)" for i in range(DIM)
-        )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v.cast("long"),
     )
     scored = (
         F.broadcast(q)

@@ -201,7 +201,17 @@ def process_kg_dedup_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    pages = _page_doc_ids(batch_df).persist()
+    pages = _page_doc_ids(batch_df)
+    # a micro-batch of few landed files arrives as few input splits, which
+    # caps the whole batch pipeline (char-shingle explode, signature
+    # aggregation, the Arrow inference stage) at that parallelism however
+    # many cores the cluster has. Spread once per batch when under-split —
+    # one cheap shuffle of the batch; a production-sized micro-batch with
+    # enough splits skips it.
+    p = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < p:
+        pages = pages.repartition(p)
+    pages = pages.persist()
     # signatures computed ONCE per batch (shingling dominates the per-batch
     # cost) and reused for both the dedup probe and the commit step
     new_sig = textstats.minhash_signature_table(

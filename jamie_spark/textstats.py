@@ -304,9 +304,20 @@ def ngram_jaccard_pairs(
     corpus explode + distinct + df-cap runs once, not per branch.
     """
     sh = _filtered_shingles(docs, n, max_df).localCheckpoint(eager=True)
+    # the posting-list self-join must SHUFFLE on the shingle key: the
+    # checkpointed stream's stats under-estimate and Catalyst otherwise
+    # broadcasts the whole corpus-sized (doc_id, shingle) table (~150MB
+    # hash relation at sf1.0 — measured bimodal 20s/60s runs; unboundable
+    # at corpus scale). The pair-count partial aggregation runs INSIDE the
+    # join stage and its per-task hash map holds that partition's doc-pair
+    # universe (sum df^2 = 144M pair rows at sf1.0) — widen the join
+    # partitioning past the core count so per-task state stays small
+    # (conf-derived, not a local constant).
+    wide = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    sh_j = sh.repartition(wide, "shingle")
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        sh_j.alias("a")
+        .join(sh_j.alias("b").hint("shuffle_merge"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -661,12 +672,21 @@ def near_dup_pairs(
     sh = _filtered_shingles(docs, n, max_df, sh=sh_all).localCheckpoint(
         eager=True
     )
+    # shingle attachments SHUFFLE (same rationale as ngram_jaccard_pairs:
+    # the checkpoint's stats otherwise broadcast the corpus-sized shingle
+    # stream for both attachments — fine for a fixture, unboundable at
+    # scale); the candidate side is the small side of the first join
     inter = (
         cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle").hint(
+                "shuffle_merge"
+            ),
+            "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle").hint(
+                "shuffle_merge"
+            ),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")

@@ -173,32 +173,6 @@ def test_entity_sim_zipf_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_sim_scoring_unrolled_no_interpreted_folds(spark):
-    """r6 optimization gate: every similarity score/dot/norm runs as the
-    unrolled codegen-able sum (0D + p0 + p1 + ...), never the interpreted
-    aggregate(zip_with(...)) fold it replaced — and the int8 path's
-    zero-vector exclusion must not re-inline the quantization into a scan
-    filter (the sq>0 pushdown duplication)."""
-    from jamie_spark import sim
-
-    emb = spark.createDataFrame(
-        [
-            (i, [float((i * 7 + j) % 13) - 6.0 for j in range(sim.DIM)])
-            for i in range(30)
-        ],
-        "vec_id long, embedding array<float>",
-    )
-    for df in (
-        sim.cosine_topk(emb, n_queries=3, k=2),
-        sim.cosine_pairs_lsh(emb, n_rows=30),
-        sim.cosine_topk_int8(emb, n_queries=3, k=2),
-        sim.ivf_topk(emb, n_queries=3, k=2, n_cells=4),
-    ):
-        plan = _plan(df)
-        assert "zip_with" not in plan, "interpreted fold survived"
-        assert "aggregate(" not in plan, "interpreted fold survived"
-
-
 def test_int8_quantization_computed_once_per_row(spark):
     """The quantization (array_max + transform) must appear in Project
     nodes only; a Filter containing transform(...) means the sq>0 pushdown
