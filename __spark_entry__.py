@@ -26,7 +26,13 @@ from jamie_spark.concepts import MOD_DICT
 from jamie_spark.textstats import LANG_MARKERS, LANG_PRIORITY, STOPWORDS
 
 
-def _spread(df: DataFrame) -> DataFrame:
+#: memoized _spread decisions keyed by parquet path: the probe
+#: (getNumPartitions + file listing) costs ~0.1-0.3s of driver work per
+#: call, and a path's split count is stable within a session
+_SPREAD_CACHE: dict[str, bool] = {}
+
+
+def _spread(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     """Re-spread an under-split scan across the cluster's cores.
 
     A table smaller than ``spark.sql.files.maxPartitionBytes`` arrives as
@@ -42,27 +48,39 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    total = 0
-    for f in df.inputFiles():
-        if f.startswith("file:"):
-            import os
-            from urllib.parse import urlparse
+    if cache_key is not None and cache_key in _SPREAD_CACHE:
+        return df.repartition(p) if _SPREAD_CACHE[cache_key] else df
+    decision = False
+    if df.rdd.getNumPartitions() < p:
+        total = 0
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                import os
+                from urllib.parse import urlparse
 
-            try:
-                total += os.path.getsize(urlparse(f).path)
-            except OSError:
-                pass
-    if total < (1 << 22):
-        return df
-    return df.repartition(p)
+                try:
+                    total += os.path.getsize(urlparse(f).path)
+                except OSError:
+                    pass
+        decision = total >= (1 << 22)
+    if cache_key is not None:
+        _SPREAD_CACHE[cache_key] = decision
+    return df.repartition(p) if decision else df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread: every consumer fans the text column out (shingles, edges,
-    # n-gram explodes) — the downstream work per scanned byte is huge
-    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = False
+) -> DataFrame:
+    # ``spread=True`` re-spreads the under-split scan — opt-IN per entry:
+    # it pays only where the per-row downstream work is heavy (shingle
+    # explodes + 8x md5 signatures, window md5s, the multihead transform,
+    # edge distinct), measured 2-5x there; multi-branch queries with cheap
+    # per-row work LOSE to the extra exchange per branch (search_bm25
+    # measured 1.4s plain vs 3.6s spread; simhash/kg_mentions/rollups
+    # similar), so the default stays plain.
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
+    return _spread(df, cache_key=path) if spread else df
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -71,8 +89,9 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # single aggregations/joins where an extra exchange of the whole table
     # costs more than the 1-2-task scan (measured: e4_mod_family
     # 1.8s -> 3.4s with events spread; reverted)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return _spread(df) if name == "embeddings" else df
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return _spread(df, cache_key=path) if name == "embeddings" else df
 
 
 # --------------------------------------------------------------------------
@@ -327,7 +346,7 @@ def _relax_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
           ), x -> x.ok))
     """
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=True)
         .select(
             F.col("doc_id").cast("string").alias("url"),
             F.split("text", " ").alias("ws"),
@@ -621,23 +640,26 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=_NGRAM_MAX_DF
+        _docs(spark, sf_dir, spread=True), n=3, threshold=0.5,
+        max_df=_NGRAM_MAX_DF,
     )
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.minhash_pairs(_docs(spark, sf_dir), n=3)
+    return textstats.minhash_pairs(_docs(spark, sf_dir, spread=True), n=3)
 
 
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.near_dup_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=_NGRAM_MAX_DF
+        _docs(spark, sf_dir, spread=True), n=3, threshold=0.5,
+        max_df=_NGRAM_MAX_DF,
     )
 
 
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.dedup_clusters(
-        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=_NGRAM_MAX_DF
+        _docs(spark, sf_dir, spread=True), n=3, threshold=0.5,
+        max_df=_NGRAM_MAX_DF,
     )
 
 
@@ -646,7 +668,7 @@ def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprints(_docs(spark, sf_dir))
+    return textstats.fingerprints(_docs(spark, sf_dir, spread=True))
 
 
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,7 +754,7 @@ def _word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive words — the deterministic small-vocabulary stand-in for the
     canonical-entity graph the pipeline materializes (graph.materialize), so
     every graph-analytics oracle runs on the same parquet the driver mounts."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     return (
         docs.select(F.split("text", " ").alias("ws"))
         .where(F.size("ws") >= 2)
@@ -1420,7 +1442,7 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling, as ONE declarative plan — each stage is an already-oracled
     operator, so the composition value-oracles end-to-end."""
     return textstats.curation_pipeline(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir, spread=True),
         fractions=_CURATION_FRACTIONS,
         default_fraction=_CURATION_DEFAULT,
     )
@@ -1586,7 +1608,7 @@ def _dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring boilerplate detection: k-token strided windows
     repeated across >= min_docs distinct documents."""
     return textstats.common_passages(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir, spread=True),
         k=_PASSAGE_K,
         stride=_PASSAGE_STRIDE,
         min_docs=_PASSAGE_MIN_DOCS,
@@ -1599,7 +1621,7 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store cached per source-parquet CONTENT, completion-guarded by the
     writer's _SUCCESS marker). Estimated Jaccard = MinHash agreement
     fraction — the store holds signatures, never text."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=True)
     path = f"/tmp/jamie_sigstore_{_content_key(sf_dir, 'documents')}"
     _ensure_cached(
         path,
@@ -1671,7 +1693,7 @@ def _dedup_passages_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined passage sampling (md5(passage) % stride == 0):
     offset-exact repeated-block detection at the strided variant's volume."""
     return textstats.common_passages_cdc(
-        _docs(spark, sf_dir),
+        _docs(spark, sf_dir, spread=True),
         k=_PASSAGE_K,
         stride=_PASSAGE_STRIDE,
         min_docs=_PASSAGE_MIN_DOCS,

@@ -201,17 +201,13 @@ def process_kg_dedup_batch(
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
-    pages = _page_doc_ids(batch_df)
-    # a micro-batch of few landed files arrives as few input splits, which
-    # caps the whole batch pipeline (char-shingle explode, signature
-    # aggregation, the Arrow inference stage) at that parallelism however
-    # many cores the cluster has. Spread once per batch when under-split —
-    # one cheap shuffle of the batch; a production-sized micro-batch with
-    # enough splits skips it.
-    p = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < p:
-        pages = pages.repartition(p)
-    pages = pages.persist()
+    # NOT re-spread: an A/B at the bench's 5k-page batches measured the
+    # under-split micro-batch (4 landed files) FASTER without a repartition
+    # (79-81s vs 82-83s over 4 batches) — the per-batch cost here is
+    # scheduler/stage-latency-bound, not map-parallelism-bound, so the
+    # extra shuffle+job per batch only adds latency (contrast: the batch
+    # declared-query tables, where the same spread won 2-5x).
+    pages = _page_doc_ids(batch_df).persist()
     # signatures computed ONCE per batch (shingling dominates the per-batch
     # cost) and reused for both the dedup probe and the commit step
     new_sig = textstats.minhash_signature_table(

@@ -654,12 +654,12 @@ def test_sequence_pack_n_rows_hint_widens_fanout_identically(spark):
     )
     base = textstats.sequence_pack(docs, 64, group_col="source")
     hinted = textstats.sequence_pack(
-        docs, 64, group_col="source", n_rows=20_000_000
+        docs, 64, group_col="source", n_rows=1_000_000_000
     )
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, hinted.collect())
     )
-    # the hinted plan buckets on a 3-hex-char prefix (20M rows > 16^2 * 1M)
+    # the hinted plan buckets on a 3-hex-char prefix (1e9 rows > 16^2 * 1M)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         hinted.explain(True)
