@@ -717,10 +717,15 @@ def dedup_clusters(
     # covers the full int64 range (12 would TRUNCATE 13+-digit ids and
     # silently collide vertices at exactly the 10^12+ scale this targets)
     pad = 20
+    # materialize the (near-dup-pair-sized) edge set before the CC call:
+    # connected_components' small-graph probe is a limit+collect, and
+    # CollectLimit's incremental partition scale-up would re-drive the
+    # whole verify pipeline's final stage several times; the distributed
+    # branch reads the edge set multiple times too
     edges = pairs.select(
         F.lpad(F.col("doc_a").cast("string"), pad, "0").alias("src"),
         F.lpad(F.col("doc_b").cast("string"), pad, "0").alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     cc = connected_components(edges)
     out = cc.select(
         F.col("vertex").cast("long").alias("doc_id"),
